@@ -1,0 +1,123 @@
+"""Wrapped normal on any constant-curvature manifold (pure functions).
+
+The paper's workhorse posterior (``mt/mvae/distributions/wrapped_normal.py``
+in oskopek/mvae [UNVERIFIED]): push a tangent Gaussian at the basepoint mu0
+through parallel transport to mu and the exponential map,
+
+    v ~ N(0, sigma) in orthonormal coords of T_mu0 M
+    z = exp_mu(PT_{mu0->mu}(v)).
+
+Because every manifold in :mod:`mvae_tpu.ops` exposes mu0-frame tangents in
+an ORTHONORMAL basis, the log-det-Jacobian is the single radial expression
+(n-1) log(sin_k(r)/r) for all six geometries (verified against numerical
+Jacobians in tests/ops/test_manifolds.py) — where the reference carries
+per-manifold log-det code paths.
+
+Positive curvature subtlety: on S^n/P^n the exponential map is periodic, so
+the exact density at z sums over ALL tangent preimages (wrap images)
+
+    q(z) = sum_b N(v_b; 0, sigma) / |det J(v_b)|,
+    v_b in {(r' + mT) v_hat} ∪ {-(T - r' + mT) v_hat},  T = 2 pi R,
+
+truncated at `wraps` extra periods (mass beyond is ~exp(-(2 pi R)^2/2sigma^2)).
+For K <= 0 the extra branches carry exactly zero mass and the formula
+degrades to the familiar single-branch form, smoothly in K — so the same
+jitted code path serves the universal manifold as its curvature crosses
+zero. The reference evaluates only the principal branch; for the small
+sigmas a trained VAE uses the difference is far below the 0.1-nat target,
+but the extra branches make log_prob a true density at any sigma (verified
+by importance-sampled normalization in tests).
+
+All functions take the manifold descriptor + curvature leaf explicitly; no
+distribution objects, no state — jit/vmap/shard_map-ready.
+"""
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import stable
+from . import normal
+
+# pseudo-infinite geodesic period for K <= 0: large enough that wrap-branch
+# Gaussian mass is exactly 0, small enough that its square stays finite in f32
+# (no inf arithmetic => no NaN gradients through the dead branches)
+_BIG_PERIOD = 1e15
+
+
+def _log_abs_sindiv_k(r, k):
+    """log(|sin_k(r)| / r), valid for any r >= 0 (multi-branch radii)."""
+    u = k * r * r
+    # reuse the stable form where |u| is in its principal window; otherwise
+    # fall back to log|sin(x)|/x for the spherical multi-wrap branch
+    x = jnp.sqrt(jnp.maximum(u, stable.tiny(r.dtype)))
+    sph = jnp.log(jnp.maximum(jnp.abs(jnp.sin(x)), stable.tiny(r.dtype))) - \
+        jnp.log(jnp.maximum(x, stable.tiny(r.dtype)))
+    principal = stable.log_sindiv_u(u)
+    # spherical x beyond the principal window (pi) needs the |sin| form
+    return jnp.where(u > jnp.pi ** 2, sph, principal)
+
+
+def sample(key, man, mu, sigma, k):
+    """Draw z; mu has ambient coords, sigma broadcasts against (..., n)."""
+    shape = mu.shape[:-1] + (man.dim,)
+    v = sigma * jax.random.normal(key, shape, dtype=mu.dtype)
+    return man.sample_projection_mu0(v, mu, k)
+
+
+def _log_prob_from_principal(man, v, sigma, k, wraps: int):
+    """Exact log q from the principal-branch tangent v (orthonormal mu0
+    frame), summing over wrap images for K > 0."""
+    n = man.dim
+    dtype = v.dtype
+    r = stable.safe_norm(v, keepdims=True)
+    v_hat = v / r
+    zero = jnp.zeros((), dtype=dtype)
+
+    # geodesic period T = 2 pi / sqrt(K) for K > 0; effectively infinite else
+    period = jnp.where(k > 0,
+                       2.0 * math.pi / jnp.sqrt(jnp.maximum(k, 1e-30)),
+                       _BIG_PERIOD).astype(dtype)
+
+    branches = []
+    for m in range(wraps + 1):
+        branches.append(r + m * period)           # +v_hat direction
+        branches.append(-((m + 1) * period - r))  # -v_hat direction (signed)
+    logps = []
+    for rb in branches:
+        vb = rb * v_hat
+        rb_abs = jnp.abs(rb).squeeze(-1)
+        logn = normal.log_prob(vb, zero, sigma)
+        logdet = (n - 1) * _log_abs_sindiv_k(rb_abs, k)
+        logps.append(logn - logdet)
+    out = jax.scipy.special.logsumexp(jnp.stack(logps, axis=-1), axis=-1)
+    return out
+
+
+def log_prob(man, z, mu, sigma, k, wraps: int = 1):
+    """Exact log-density w.r.t. the Riemannian measure."""
+    v = man.inverse_sample_projection_mu0(z, mu, k)
+    return _log_prob_from_principal(man, v, sigma, k, wraps)
+
+
+def sample_and_log_prob(key, man, mu, sigma, k, wraps: int = 1):
+    """Draw z and its log q(z) (reference ``rsample_log_prob`` semantics).
+
+    The density is evaluated at the principal preimage of the sampled point
+    (plus wrap images), i.e. exactly ``log_prob(z)`` — including when the
+    sampled tangent itself wrapped past the sphere's injectivity radius.
+    """
+    shape = mu.shape[:-1] + (man.dim,)
+    v = sigma * jax.random.normal(key, shape, dtype=mu.dtype)
+    z = man.sample_projection_mu0(v, mu, k)
+    v_principal = man.inverse_sample_projection_mu0(z, mu, k)
+    logq = _log_prob_from_principal(man, v_principal, sigma, k, wraps)
+    return z, logq
+
+
+def log_prob_mu0(man, z, sigma, k, wraps: int = 1):
+    """log-density of the prior WrappedNormal(mu0, sigma)."""
+    v = man.log_map_mu0(z, k)
+    return _log_prob_from_principal(man, v, sigma, k, wraps)

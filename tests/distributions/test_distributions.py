@@ -1,0 +1,303 @@
+"""L2 distribution tests (SURVEY.md §4): on-manifold samples, sample/log_prob
+consistency, MC normalization, analytic-vs-MC KL, moment checks against
+closed forms, and reparameterization-gradient correctness."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.special as sps
+
+from mvae_tpu.distributions import (hyperspherical_uniform, normal,
+                                    riemannian_normal, von_mises_fisher,
+                                    wrapped_normal)
+from mvae_tpu.ops import Manifold, lorentz, sphere
+
+F64 = jnp.float64
+
+
+def key(i):
+    return jax.random.key(i)
+
+
+class TestNormal:
+    def test_log_prob_matches_scipy(self):
+        x = jnp.asarray([[0.3, -1.2, 0.7]], F64)
+        mu = jnp.asarray([[0.1, 0.0, -0.5]], F64)
+        sigma = jnp.asarray([[0.5, 1.5, 2.0]], F64)
+        from scipy.stats import norm
+        oracle = norm.logpdf(np.asarray(x), np.asarray(mu),
+                             np.asarray(sigma)).sum(-1)
+        np.testing.assert_allclose(normal.log_prob(x, mu, sigma), oracle,
+                                   rtol=1e-12)
+
+    def test_kl_analytic_vs_mc(self):
+        mu = jnp.asarray([0.4, -0.3], F64)
+        sigma = jnp.asarray([0.7, 1.3], F64)
+        x = normal.sample(key(0), jnp.broadcast_to(mu, (200_000, 2)), sigma)
+        mc = jnp.mean(normal.log_prob(x, mu, sigma)
+                      - normal.log_prob(x, jnp.zeros(2, F64),
+                                        jnp.ones(2, F64)))
+        np.testing.assert_allclose(normal.kl_std(mu, sigma), mc, rtol=2e-2)
+
+
+@pytest.mark.parametrize("kind,k0", [("e", 0.0), ("h", -1.0), ("h", -0.4),
+                                     ("d", -1.0), ("s", 1.0), ("s", 0.5),
+                                     ("p", 1.0), ("u", -0.7), ("u", 0.7)])
+class TestWrappedNormal:
+    DIM = 3
+
+    def _mu(self, man, k):
+        mu_v = jnp.asarray([0.3, -0.2, 0.4], F64)
+        return man.exp_map_mu0(mu_v, k)
+
+    def test_sample_logprob_consistency(self, kind, k0):
+        man = Manifold(kind, self.DIM)
+        k = F64(k0)
+        mu = jnp.broadcast_to(self._mu(man, k), (64, man.ambient_dim))
+        sigma = jnp.asarray(0.6, F64)
+        z, logq = wrapped_normal.sample_and_log_prob(key(1), man, mu, sigma, k)
+        logq2 = wrapped_normal.log_prob(man, z, mu, sigma, k)
+        np.testing.assert_allclose(logq, logq2, rtol=1e-7, atol=1e-8)
+
+    def test_normalization_by_importance_sampling(self, kind, k0):
+        """E_{z~q1}[q2(z)/q1(z)] = 1 for two wrapped normals — catches any
+        log-det error that a self-consistency test can't see."""
+        man = Manifold(kind, self.DIM)
+        k = F64(k0)
+        n = 100_000
+        mu1 = jnp.broadcast_to(self._mu(man, k), (n, man.ambient_dim))
+        mu2 = jnp.broadcast_to(man.exp_map_mu0(
+            jnp.asarray([-0.2, 0.1, 0.0], F64), k), (n, man.ambient_dim))
+        z, logq1 = wrapped_normal.sample_and_log_prob(key(2), man, mu1,
+                                                      jnp.asarray(0.8, F64), k)
+        logq2 = wrapped_normal.log_prob(man, z, mu2, jnp.asarray(1.1, F64), k)
+        est = jax.scipy.special.logsumexp(logq2 - logq1) - np.log(n)
+        np.testing.assert_allclose(np.exp(est), 1.0, rtol=0.05)
+
+    def test_grads_finite_f32(self, kind, k0):
+        man = Manifold(kind, self.DIM)
+
+        def loss(mu_v, log_sigma, kk):
+            mu = man.exp_map_mu0(mu_v, kk)
+            z, logq = wrapped_normal.sample_and_log_prob(
+                key(3), man, mu, jnp.exp(log_sigma), kk)
+            return jnp.sum(logq) + jnp.sum(z * z)
+
+        g = jax.grad(loss, argnums=(0, 1, 2))(
+            jnp.asarray([0.3, -0.2, 0.4], jnp.float32),
+            jnp.asarray(-0.5, jnp.float32), jnp.float32(k0))
+        for gi in g:
+            assert np.all(np.isfinite(np.asarray(gi))), (kind, k0)
+
+
+class TestWrappedNormalCrossModel:
+    def test_h_equals_d_under_isometry(self):
+        """Lorentz and Poincare wrapped normals are the same measure: log_prob
+        at corresponding points must agree (the reference paper's H^n ~ D^n
+        table-row identity)."""
+        k = F64(-0.8)
+        man_h = Manifold("h", 3)
+        man_d = Manifold("d", 3)
+        mu_v = jnp.asarray([0.2, -0.4, 0.1], F64)
+        mu_h = man_h.exp_map_mu0(mu_v, k)
+        mu_d = man_d.exp_map_mu0(mu_v, k)
+        z_h, logq_h = wrapped_normal.sample_and_log_prob(
+            key(4), man_h, jnp.broadcast_to(mu_h, (32, 4)),
+            jnp.asarray(0.7, F64), k)
+        z_d = lorentz.lorentz_to_poincare(z_h, k)
+        logq_d = wrapped_normal.log_prob(man_d, z_d, mu_d,
+                                         jnp.asarray(0.7, F64), k)
+        np.testing.assert_allclose(logq_h, logq_d, rtol=1e-8)
+
+    def test_k0_equals_euclidean(self):
+        """Universal wrapped normal at K=0 must equal the Euclidean normal
+        in the orthonormal frame."""
+        man_u = Manifold("u", 3)
+        k = F64(0.0)
+        mu_v = jnp.asarray([0.2, -0.1, 0.3], F64)
+        mu = man_u.exp_map_mu0(mu_v, k)
+        z, logq = wrapped_normal.sample_and_log_prob(
+            key(5), man_u, jnp.broadcast_to(mu, (16, 3)),
+            jnp.asarray(0.9, F64), k)
+        v = man_u.inverse_sample_projection_mu0(z, mu, k)
+        oracle = normal.log_prob(v, jnp.zeros(3, F64), jnp.asarray(0.9, F64))
+        np.testing.assert_allclose(logq, oracle, rtol=1e-9)
+
+
+class TestHypersphericalUniform:
+    def test_area(self):
+        # S^2 (m=3) unit: area 4 pi
+        np.testing.assert_allclose(
+            np.exp(hyperspherical_uniform.log_surface_area(3, F64(1.0))),
+            4 * np.pi, rtol=1e-12)
+        # radius scaling: R^2 for m=3
+        np.testing.assert_allclose(
+            np.exp(hyperspherical_uniform.log_surface_area(3, F64(0.25))),
+            4 * np.pi * 4.0, rtol=1e-12)
+
+    def test_sample_on_sphere(self):
+        z = hyperspherical_uniform.sample(key(6), (1000,), 4, F64(0.5),
+                                          dtype=F64)
+        np.testing.assert_allclose(np.linalg.norm(np.asarray(z), axis=-1),
+                                   np.sqrt(2.0), rtol=1e-9)
+
+
+class TestVonMisesFisher:
+    @pytest.mark.parametrize("m,kappa", [(3, 0.5), (3, 5.0), (3, 80.0),
+                                         (5, 2.0), (7, 10.0), (2, 4.0)])
+    def test_mean_resultant_length(self, m, kappa):
+        """Empirical E[<mu_hat, z_hat>] must equal A_m(kappa) — a sharp
+        functional test of the Wood sampler."""
+        n = 30_000
+        mu = jnp.zeros((n, m), F64).at[:, 0].set(1.0)
+        kap = jnp.full((n,), kappa, F64)
+        z = von_mises_fisher.sample(key(7), mu, kap, F64(1.0))
+        np.testing.assert_allclose(np.linalg.norm(np.asarray(z), axis=-1),
+                                   1.0, rtol=1e-9)
+        emp = float(jnp.mean(jnp.sum(z * mu, axis=-1)))
+        oracle = sps.ive(m / 2, kappa) / sps.ive(m / 2 - 1, kappa)
+        np.testing.assert_allclose(emp, oracle, atol=4.0 / np.sqrt(n))
+
+    def test_mean_direction_offaxis(self):
+        n = 20_000
+        mu_dir = np.array([0.6, -0.8, 0.0])
+        mu = jnp.broadcast_to(jnp.asarray(mu_dir, F64), (n, 3))
+        z = von_mises_fisher.sample(key(8), mu, jnp.full((n,), 6.0, F64),
+                                    F64(1.0))
+        mean = np.asarray(jnp.mean(z, axis=0))
+        mean_dir = mean / np.linalg.norm(mean)
+        np.testing.assert_allclose(mean_dir, mu_dir, atol=0.02)
+
+    @pytest.mark.parametrize("m,kappa", [(3, 1.0), (5, 8.0)])
+    def test_normalization(self, m, kappa):
+        """MC integral of the density against the uniform measure."""
+        n = 200_000
+        k = F64(1.0)
+        z = hyperspherical_uniform.sample(key(9), (n,), m, k, dtype=F64)
+        mu = jnp.zeros((m,), F64).at[0].set(1.0)
+        logq = von_mises_fisher.log_prob(z, mu, jnp.asarray(kappa, F64), k)
+        logp = hyperspherical_uniform.log_prob(z, k)
+        est = jax.scipy.special.logsumexp(logq - logp) - np.log(n)
+        np.testing.assert_allclose(np.exp(est), 1.0, rtol=0.05)
+
+    def test_kl_analytic_vs_mc(self):
+        m, kappa = 5, 4.0
+        n = 100_000
+        mu = jnp.zeros((n, m), F64).at[:, 0].set(1.0)
+        kap = jnp.full((n,), kappa, F64)
+        k = F64(1.0)
+        z = von_mises_fisher.sample(key(10), mu, kap, k)
+        mc = float(jnp.mean(von_mises_fisher.log_prob(z, mu, kap, k)
+                            - hyperspherical_uniform.log_prob(z, k)))
+        analytic = float(von_mises_fisher.kl_to_uniform(m, F64(kappa)))
+        np.testing.assert_allclose(analytic, mc, rtol=2e-2)
+
+    def test_radius_scaling_consistency(self):
+        """Normalization must hold on a non-unit sphere too (area term)."""
+        m, kappa, k = 3, 2.0, F64(4.0)  # R = 1/2
+        n = 100_000
+        z = hyperspherical_uniform.sample(key(11), (n,), m, k, dtype=F64)
+        mu = jnp.zeros((m,), F64).at[0].set(0.5)
+        logq = von_mises_fisher.log_prob(z, mu, F64(kappa), k)
+        logp = hyperspherical_uniform.log_prob(z, k)
+        est = jax.scipy.special.logsumexp(logq - logp) - np.log(n)
+        np.testing.assert_allclose(np.exp(est), 1.0, rtol=0.05)
+
+    def test_kappa_gradient(self):
+        """d/dkappa E[<mu, z>] via the reparameterized sampler vs the
+        analytic derivative of A_m — validates the eps-recompute trick."""
+        m, kappa = 3, 3.0
+        n = 400_000
+
+        def mean_cos(kap):
+            mu = jnp.zeros((n, m), F64).at[:, 0].set(1.0)
+            z = von_mises_fisher.sample(key(12), mu,
+                                        jnp.full((n,), kap[0], F64), F64(1.0))
+            return jnp.mean(jnp.sum(z * mu, axis=-1))
+
+        g = jax.grad(lambda kap: mean_cos(kap))(jnp.asarray([kappa], F64))
+        h = 1e-4
+        oracle = (sps.ive(m / 2, kappa + h) / sps.ive(m / 2 - 1, kappa + h)
+                  - sps.ive(m / 2, kappa - h) / sps.ive(m / 2 - 1, kappa - h)
+                  ) / (2 * h)
+        np.testing.assert_allclose(float(g[0]), oracle, rtol=0.1)
+
+
+class TestRiemannianNormal:
+    @pytest.mark.parametrize("n,sigma,c", [(2, 0.5, 1.0), (3, 1.0, 1.0),
+                                           (6, 0.7, 0.5), (2, 2.0, 2.0),
+                                           (4, 0.3, 1e-2)])
+    def test_log_partition_vs_quadrature(self, n, sigma, c):
+        r = np.linspace(1e-6, 60.0 * sigma, 400_000)
+        integrand = np.exp(-r ** 2 / (2 * sigma ** 2)) * (
+            np.sinh(np.sqrt(c) * r) / np.sqrt(c)) ** (n - 1)
+        area = 2 * np.pi ** (n / 2) / sps.gamma(n / 2)
+        oracle = np.log(area * np.trapezoid(integrand, r))
+        ours = riemannian_normal.log_partition(n, F64(sigma), F64(-c))
+        np.testing.assert_allclose(float(ours), oracle, rtol=1e-6)
+
+    @pytest.mark.parametrize("sigma,c", [(0.5, 1.0), (1.5, 1.0), (0.2, 0.01)])
+    def test_radial_sampler_matches_cdf(self, sigma, c):
+        n_dim = 3
+        ns = 40_000
+        r = riemannian_normal.sample_radius(
+            key(13), n_dim, jnp.full((ns,), sigma, F64), F64(-c))
+        r = np.sort(np.asarray(r))
+        for q in (0.1, 0.3, 0.5, 0.7, 0.9):
+            r_q = r[int(q * ns)]
+            cdf = float(riemannian_normal._radial_cdf(
+                n_dim, jnp.asarray([r_q], F64), jnp.asarray([sigma], F64),
+                F64(-c))[0])
+            np.testing.assert_allclose(cdf, q, atol=0.02)
+
+    def test_normalization_by_importance_sampling(self):
+        man = Manifold("d", 3)
+        k = F64(-1.0)
+        nsamp = 200_000
+        mu = jnp.broadcast_to(man.exp_map_mu0(
+            jnp.asarray([0.2, -0.1, 0.3], F64), k), (nsamp, 3))
+        z, logq = wrapped_normal.sample_and_log_prob(
+            key(14), man, mu, jnp.asarray(1.0, F64), k)
+        logrn = riemannian_normal.log_prob(man, z, mu, jnp.asarray(0.8, F64),
+                                           k)
+        est = jax.scipy.special.logsumexp(logrn - logq) - np.log(nsamp)
+        np.testing.assert_allclose(np.exp(est), 1.0, rtol=0.05)
+
+    def test_sigma_gradient_implicit(self):
+        """dE[r]/dsigma via implicit reparameterization vs finite-difference
+        quadrature of the true mean."""
+        n_dim, c = 3, 1.0
+        ns = 200_000
+
+        def mean_r(sig):
+            r = riemannian_normal.sample_radius(
+                key(15), n_dim, jnp.full((ns,), sig, F64), F64(-c))
+            return jnp.mean(r)
+
+        g = float(jax.grad(lambda s: mean_r(s))(F64(0.7)))
+
+        def true_mean(sigma):
+            r = np.linspace(1e-6, 40.0, 400_000)
+            w = np.exp(-r ** 2 / (2 * sigma ** 2)) * np.sinh(r) ** (n_dim - 1)
+            return np.trapezoid(r * w, r) / np.trapezoid(w, r)
+
+        h = 1e-4
+        oracle = (true_mean(0.7 + h) - true_mean(0.7 - h)) / (2 * h)
+        np.testing.assert_allclose(g, oracle, rtol=0.05)
+
+    def test_lorentz_and_poincare_agree(self):
+        k = F64(-0.6)
+        man_h, man_d = Manifold("h", 3), Manifold("d", 3)
+        mu_v = jnp.asarray([0.1, 0.2, -0.3], F64)
+        z_h = riemannian_normal.sample(
+            key(16), man_h,
+            jnp.broadcast_to(man_h.exp_map_mu0(mu_v, k), (32, 4)),
+            jnp.full((32,), 0.9, F64), k)
+        lp_h = riemannian_normal.log_prob(
+            man_h, z_h, man_h.exp_map_mu0(mu_v, k), jnp.full((32,), 0.9, F64),
+            k)
+        z_d = lorentz.lorentz_to_poincare(z_h, k)
+        lp_d = riemannian_normal.log_prob(
+            man_d, z_d, man_d.exp_map_mu0(mu_v, k), jnp.full((32,), 0.9, F64),
+            k)
+        np.testing.assert_allclose(lp_h, lp_d, rtol=1e-8)

@@ -1,0 +1,193 @@
+"""Latent-space components: one constant-curvature factor + posterior family.
+
+Capability parity with ``mt/mvae/components/`` + ``mt/mvae/sampling/`` in
+oskopek/mvae [UNVERIFIED]: a Component binds (manifold, latent dim, posterior
+family, curvature parameter, encoder heads), and its sampling procedure maps
+shared encoder features to a reparameterized draw with log q / log p / KL
+(analytic KL where the reference has it — Euclidean normal and vMF-vs-
+uniform — single-sample MC estimate ``log q(z|x) - log p(z)`` otherwise,
+matching the reference's ELBO semantics, SURVEY.md §7 hard part #4).
+
+TPU-native shape: a Component is a STATIC dataclass (hashable, trace-time
+dispatch); its learnable state is a plain dict pytree
+{w_mu, b_mu, w_sig, b_sig, c_param} living in the model params. The full
+product latent runs as straight-line jitted code over the component list.
+
+Posterior families:
+  'wrapped'    WrappedNormal(mu, sigma), prior WrappedNormal(mu0, 1)
+  'normal'     Euclidean diagonal normal, prior N(0, I), analytic KL
+  'vmf'        von Mises-Fisher(mu, kappa), prior HypersphericalUniform,
+               analytic KL (s/p kinds; density on the radius-R sphere)
+  'riemannian' RiemannianNormal(mu, sigma), prior RiemannianNormal(mu0, 1)
+               (h/d kinds)
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..distributions import (hyperspherical_uniform, normal,
+                             riemannian_normal, von_mises_fisher,
+                             wrapped_normal)
+from ..ops import Manifold
+from ..ops import stable
+
+POSTERIORS = ("wrapped", "normal", "vmf", "riemannian")
+
+DEFAULT_POSTERIOR = {
+    "e": "normal",
+    "h": "wrapped",
+    "d": "wrapped",
+    "s": "vmf",
+    "p": "wrapped",
+    "u": "wrapped",
+}
+
+_VALID = {
+    "normal": ("e",),
+    "wrapped": ("e", "h", "d", "s", "p", "u"),
+    "vmf": ("s", "p"),
+    "riemannian": ("h", "d"),
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class Component:
+    """Static descriptor of one latent factor."""
+
+    manifold: Manifold
+    posterior: str
+    fixed_curvature: bool = True
+
+    def __post_init__(self):
+        if self.posterior not in POSTERIORS:
+            raise ValueError(f"unknown posterior {self.posterior!r}")
+        if self.manifold.kind not in _VALID[self.posterior]:
+            raise ValueError(
+                f"posterior {self.posterior!r} unsupported on manifold kind "
+                f"{self.manifold.kind!r} (valid: {_VALID[self.posterior]})")
+
+    @property
+    def dim(self) -> int:
+        return self.manifold.dim
+
+    @property
+    def ambient_dim(self) -> int:
+        return self.manifold.ambient_dim
+
+    @property
+    def name(self) -> str:
+        return f"{self.manifold.kind}{self.manifold.dim}"
+
+    # --- parameters ---------------------------------------------------------
+
+    def init_params(self, key, feature_dim: int, init_k: float = 1.0,
+                    dtype=jnp.float32):
+        """Head weights + curvature leaf. Heads follow the reference shape:
+        Linear -> tangent mu at mu0 (expmap'd), Linear -> softplus scale."""
+        k_mu, k_sig = jax.random.split(key)
+        scale = 1.0 / jnp.sqrt(jnp.asarray(feature_dim, dtype))
+        n_scale = 1 if self.posterior in ("vmf", "riemannian") else self.dim
+        params = {
+            "w_mu": (scale * jax.random.normal(
+                k_mu, (feature_dim, self.dim), dtype)),
+            "b_mu": jnp.zeros((self.dim,), dtype),
+            "w_sig": (scale * jax.random.normal(
+                k_sig, (feature_dim, n_scale), dtype)),
+            "b_sig": jnp.zeros((n_scale,), dtype),
+        }
+        if self.manifold.has_curvature_param:
+            params["c_param"] = self.manifold.init_curvature_param(
+                init_k, dtype)
+        return params
+
+    def curvature(self, params):
+        if not self.manifold.has_curvature_param:
+            return jnp.zeros((), jnp.result_type(params["w_mu"]))
+        return self.manifold.curvature(params["c_param"])
+
+    # --- posterior parameter heads ------------------------------------------
+
+    def posterior_params(self, params, features):
+        """features (..., F) -> (mu ambient, scale, k)."""
+        k = self.curvature(params)
+        mu_tan = features @ params["w_mu"] + params["b_mu"]
+        mu = self.manifold.exp_map_mu0(mu_tan, k)
+        raw = features @ params["w_sig"] + params["b_sig"]
+        if self.posterior == "vmf":
+            # concentration: softplus + 1 keeps the Wood sampler in its
+            # efficient regime and matches the s-vae-style head
+            scale = jax.nn.softplus(raw).squeeze(-1) + 1.0
+        else:
+            scale = jax.nn.softplus(raw)  # sigma > 0
+            if self.posterior == "riemannian":
+                scale = scale.squeeze(-1)
+        return mu, scale, k
+
+
+class Reparametrized(NamedTuple):
+    """Per-component reparameterization result (reference namedtuple parity)."""
+
+    z: jax.Array        # (..., ambient_dim) latent draw
+    log_q: jax.Array    # (...,) posterior log-density at z
+    log_p: jax.Array    # (...,) prior log-density at z
+    kl: jax.Array       # (...,) KL estimate used in the ELBO
+
+
+def reparametrize(key, comp: Component, params, features) -> Reparametrized:
+    """Sample z ~ q(.|features) with log q, log p, and the ELBO KL term."""
+    man = comp.manifold
+    mu, scale, k = comp.posterior_params(params, features)
+    dtype = features.dtype
+
+    if comp.posterior == "normal":
+        z = normal.sample(key, mu, scale)
+        log_q = normal.log_prob(z, mu, scale)
+        zero = jnp.zeros((), dtype)
+        log_p = normal.log_prob(z, zero, jnp.ones((), dtype))
+        kl = normal.kl_std(mu, scale)
+        return Reparametrized(z, log_q, log_p, kl)
+
+    if comp.posterior == "wrapped":
+        z, log_q = wrapped_normal.sample_and_log_prob(key, man, mu, scale, k)
+        log_p = wrapped_normal.log_prob_mu0(man, z, jnp.ones((), dtype), k)
+        kl = log_q - log_p
+        return Reparametrized(z, log_q, log_p, kl)
+
+    if comp.posterior == "vmf":
+        z = von_mises_fisher.sample(key, mu, scale, k)
+        log_q = von_mises_fisher.log_prob(z, mu, scale, k)
+        log_p = hyperspherical_uniform.log_prob(z, k)
+        kl = von_mises_fisher.kl_to_uniform(man.ambient_dim, scale)
+        return Reparametrized(z, log_q, log_p, kl)
+
+    if comp.posterior == "riemannian":
+        z = riemannian_normal.sample(key, man, mu, scale, k)
+        log_q = riemannian_normal.log_prob(man, z, mu, scale, k)
+        mu0 = man.mu0(k, dtype)
+        log_p = riemannian_normal.log_prob(man, z, mu0, jnp.ones((), dtype),
+                                           k)
+        kl = log_q - log_p
+        return Reparametrized(z, log_q, log_p, kl)
+
+    raise AssertionError(comp.posterior)
+
+
+def sample_prior(key, comp: Component, params, shape, dtype=jnp.float32):
+    """Draw from the component prior (for generation / ancestral sampling)."""
+    man = comp.manifold
+    k = comp.curvature(params)
+    if comp.posterior == "normal":
+        return jax.random.normal(key, shape + (comp.dim,), dtype)
+    if comp.posterior == "vmf":
+        return hyperspherical_uniform.sample(key, shape, man.ambient_dim, k,
+                                             dtype)
+    if comp.posterior == "riemannian":
+        mu0 = jnp.broadcast_to(man.mu0(k, dtype), shape + (man.ambient_dim,))
+        return riemannian_normal.sample(key, man, mu0,
+                                        jnp.ones(shape, dtype), k)
+    mu0 = jnp.broadcast_to(man.mu0(k, dtype), shape + (man.ambient_dim,))
+    return wrapped_normal.sample(key, man, mu0, jnp.ones((), dtype), k)

@@ -1,0 +1,142 @@
+"""L3 tests: spec DSL parsing, head shapes, reparametrize consistency,
+analytic-vs-MC KL (SURVEY.md §4 component rows)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mvae_tpu.components import (Component, canonical_name, parse_components,
+                                 reparametrize, sample_prior,
+                                 total_ambient_dim, total_true_dim)
+from mvae_tpu.ops import Manifold
+
+F64 = jnp.float64
+
+
+class TestSpecParser:
+    def test_basic(self):
+        comps = parse_components("h2,s2,e2")
+        assert [c.name for c in comps] == ["h2", "s2", "e2"]
+        assert [c.posterior for c in comps] == ["wrapped", "vmf", "normal"]
+        assert total_true_dim(comps) == 6
+        assert total_ambient_dim(comps) == 3 + 3 + 2
+        assert canonical_name(comps) == "(H^2)x(S^2)x(E^2)"
+
+    def test_multiplier(self):
+        comps = parse_components("3h2")
+        assert len(comps) == 3
+        assert all(c.name == "h2" for c in comps)
+        assert parse_components("2h2,s3") == parse_components("h2,h2,s3")
+
+    def test_posterior_suffix(self):
+        (c,) = parse_components("s6:wrapped")
+        assert c.posterior == "wrapped"
+        (c,) = parse_components("d3:riemannian")
+        assert c.posterior == "riemannian"
+
+    def test_fixed_curvature_flag(self):
+        (c,) = parse_components("h2", fixed_curvature=False)
+        assert not c.fixed_curvature
+
+    @pytest.mark.parametrize("bad", ["", "x3", "h", "h2;s2", "0h2",
+                                     "e3:vmf", "s2:riemannian", "h2:bogus"])
+    def test_rejects(self, bad):
+        with pytest.raises(ValueError):
+            parse_components(bad)
+
+    def test_all_kinds(self):
+        comps = parse_components("e2,h2,d2,s2,p2,u2")
+        assert total_ambient_dim(comps) == 2 + 3 + 2 + 3 + 2 + 2
+
+
+ALL_SPECS = ["e3", "h3", "d3", "s3", "s3:wrapped", "p3", "u3",
+             "d3:riemannian"]
+
+
+@pytest.mark.parametrize("spec", ALL_SPECS)
+class TestReparametrize:
+    FEAT = 8
+    BATCH = 64
+
+    def _setup(self, spec):
+        (comp,) = parse_components(spec)
+        params = comp.init_params(jax.random.key(0), self.FEAT, dtype=F64)
+        feats = 0.1 * jax.random.normal(jax.random.key(1),
+                                        (self.BATCH, self.FEAT), F64)
+        return comp, params, feats
+
+    def test_shapes_and_finiteness(self, spec):
+        comp, params, feats = self._setup(spec)
+        rep = reparametrize(jax.random.key(2), comp, params, feats)
+        assert rep.z.shape == (self.BATCH, comp.ambient_dim)
+        for a in (rep.z, rep.log_q, rep.log_p, rep.kl):
+            assert np.all(np.isfinite(np.asarray(a))), spec
+
+    def test_z_on_manifold(self, spec):
+        comp, params, feats = self._setup(spec)
+        rep = reparametrize(jax.random.key(3), comp, params, feats)
+        man, k = comp.manifold, comp.curvature(params)
+        if man.kind == "h":
+            from mvae_tpu.ops import lorentz
+            np.testing.assert_allclose(
+                lorentz.lorentz_product(rep.z, rep.z), 1.0 / float(k),
+                rtol=1e-8)
+        elif man.kind == "s":
+            np.testing.assert_allclose(jnp.sum(rep.z * rep.z, -1),
+                                       1.0 / float(k), rtol=1e-8)
+
+    def test_kl_nonneg_in_expectation(self, spec):
+        comp, params, feats = self._setup(spec)
+        kls = []
+        for i in range(20):
+            rep = reparametrize(jax.random.key(10 + i), comp, params, feats)
+            kls.append(np.asarray(rep.kl))
+        assert np.mean(kls) > -0.05, spec
+
+    def test_grads_finite_f32(self, spec):
+        (comp,) = parse_components(spec, fixed_curvature=False)
+        params = comp.init_params(jax.random.key(0), self.FEAT,
+                                  dtype=jnp.float32)
+        feats = 0.1 * jax.random.normal(jax.random.key(1),
+                                        (4, self.FEAT), jnp.float32)
+
+        def loss(p):
+            rep = reparametrize(jax.random.key(2), comp, p, feats)
+            return jnp.sum(rep.kl) + jnp.sum(rep.z) + jnp.sum(rep.log_q)
+
+        g = jax.grad(loss)(params)
+        for name, arr in g.items():
+            assert np.all(np.isfinite(np.asarray(arr))), (spec, name)
+
+
+class TestAnalyticVsMcKl:
+    """Where analytic KL exists it must agree with the MC estimate."""
+
+    @pytest.mark.parametrize("spec", ["e3", "s3"])
+    def test_agreement(self, spec):
+        (comp,) = parse_components(spec)
+        params = comp.init_params(jax.random.key(0), 8, dtype=F64)
+        feats = 0.3 * jax.random.normal(jax.random.key(1), (1, 8), F64)
+        feats = jnp.broadcast_to(feats, (50_000, 8))
+        rep = reparametrize(jax.random.key(2), comp, params, feats)
+        mc = float(jnp.mean(rep.log_q - rep.log_p))
+        analytic = float(jnp.mean(rep.kl))
+        np.testing.assert_allclose(analytic, mc, rtol=0.05, atol=0.01)
+
+
+class TestSamplePrior:
+    @pytest.mark.parametrize("spec", ALL_SPECS)
+    def test_prior_samples(self, spec):
+        (comp,) = parse_components(spec)
+        params = comp.init_params(jax.random.key(0), 8, dtype=F64)
+        z = sample_prior(jax.random.key(1), comp, params, (32,), F64)
+        assert z.shape == (32, comp.ambient_dim)
+        assert np.all(np.isfinite(np.asarray(z)))
+
+
+class TestComponentValidation:
+    def test_bad_posterior_manifold_combo(self):
+        with pytest.raises(ValueError):
+            Component(Manifold("e", 3), "vmf")
+        with pytest.raises(ValueError):
+            Component(Manifold("s", 3), "riemannian")

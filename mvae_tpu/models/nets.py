@@ -1,0 +1,153 @@
+"""Encoder/decoder networks as pure init/apply functions.
+
+Capability parity with the reference's ``FeedForwardVAE`` MLP stacks and
+``ConvolutionalVAE`` conv stacks (``mt/mvae/models/`` in oskopek/mvae
+[UNVERIFIED]; hidden size ~400, ReLU). No framework modules: params are
+plain dict pytrees, apply functions are jit/vmap/shard_map-transparent, and
+every matmul is expressed so XLA tiles it onto the MXU (batch-major GEMMs,
+NHWC convs, bf16-friendly).
+"""
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+
+def _linear_init(key, in_dim: int, out_dim: int, dtype):
+    w_key, _ = jax.random.split(key)
+    scale = math.sqrt(2.0 / in_dim)  # He init for ReLU stacks
+    return {
+        "w": scale * jax.random.normal(w_key, (in_dim, out_dim), dtype),
+        "b": jnp.zeros((out_dim,), dtype),
+    }
+
+
+def _linear(params, x):
+    return x @ params["w"] + params["b"]
+
+
+def _conv_init(key, h, w, cin, cout, dtype):
+    fan_in = h * w * cin
+    scale = math.sqrt(2.0 / fan_in)
+    return {
+        "w": scale * jax.random.normal(key, (h, w, cin, cout), dtype),
+        "b": jnp.zeros((cout,), dtype),
+    }
+
+
+def _conv(params, x, stride: int):
+    """NHWC conv, SAME padding — the TPU-native layout."""
+    out = jax.lax.conv_general_dilated(
+        x, params["w"], window_strides=(stride, stride), padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+    return out.astype(x.dtype) + params["b"]
+
+
+def _conv_transpose(params, x, stride: int):
+    out = jax.lax.conv_transpose(
+        x, params["w"], strides=(stride, stride), padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+    return out.astype(x.dtype) + params["b"]
+
+
+# --- MLP encoder/decoder (MNIST / Omniglot / BDP) ----------------------------
+
+
+def mlp_encoder_init(key, in_dim: int, h_dim: int, dtype=jnp.float32,
+                     depth: int = 1):
+    keys = jax.random.split(key, depth)
+    dims = [in_dim] + [h_dim] * depth
+    return {"layers": tuple(
+        _linear_init(k, dims[i], dims[i + 1], dtype)
+        for i, k in enumerate(keys))}
+
+
+def mlp_encoder_apply(params, x):
+    """x (..., D) -> features (..., H)."""
+    h = x
+    for layer in params["layers"]:
+        h = jax.nn.relu(_linear(layer, h))
+    return h
+
+
+def mlp_decoder_init(key, z_dim: int, h_dim: int, out_dim: int,
+                     dtype=jnp.float32, depth: int = 1):
+    keys = jax.random.split(key, depth + 1)
+    dims = [z_dim] + [h_dim] * depth
+    return {
+        "layers": tuple(
+            _linear_init(k, dims[i], dims[i + 1], dtype)
+            for i, k in enumerate(keys[:-1])),
+        "out": _linear_init(keys[-1], h_dim, out_dim, dtype),
+    }
+
+
+def mlp_decoder_apply(params, z):
+    """z (..., Z) -> logits (..., D)."""
+    h = z
+    for layer in params["layers"]:
+        h = jax.nn.relu(_linear(layer, h))
+    return _linear(params["out"], h)
+
+
+# --- Conv encoder/decoder (CIFAR) --------------------------------------------
+# 32x32x3 -> 16x16x64 -> 8x8x128 -> flatten -> h_dim  (and mirrored decoder)
+
+_CONV_CHANNELS = (64, 128)
+
+
+def conv_encoder_init(key, image_hw: int, cin: int, h_dim: int,
+                      dtype=jnp.float32):
+    k1, k2, k3 = jax.random.split(key, 3)
+    c1, c2 = _CONV_CHANNELS
+    spatial = image_hw // 4
+    return {
+        "conv1": _conv_init(k1, 4, 4, cin, c1, dtype),
+        "conv2": _conv_init(k2, 4, 4, c1, c2, dtype),
+        "fc": _linear_init(k3, spatial * spatial * c2, h_dim, dtype),
+    }
+
+
+def conv_encoder_apply(params, x):
+    """x (..., H, W, C) -> features (..., h_dim)."""
+    batch = x.shape[:-3]
+    x = x.reshape((-1,) + x.shape[-3:])
+    h = jax.nn.relu(_conv(params["conv1"], x, 2))
+    h = jax.nn.relu(_conv(params["conv2"], h, 2))
+    h = h.reshape(h.shape[0], -1)
+    h = jax.nn.relu(_linear(params["fc"], h))
+    return h.reshape(batch + (h.shape[-1],))
+
+
+def conv_decoder_init(key, z_dim: int, h_dim: int, image_hw: int, cout: int,
+                      dtype=jnp.float32):
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    c1, c2 = _CONV_CHANNELS
+    spatial = image_hw // 4
+    return {
+        "fc1": _linear_init(k1, z_dim, h_dim, dtype),
+        "fc2": _linear_init(k2, h_dim, spatial * spatial * c2, dtype),
+        "deconv1": _conv_init(k3, 4, 4, c2, c1, dtype),
+        "deconv2": _conv_init(k4, 4, 4, c1, cout, dtype),
+    }
+
+
+def conv_decoder_apply(params, z):
+    """z (..., Z) -> logits (..., H, W, C)."""
+    batch = z.shape[:-1]
+    z = z.reshape(-1, z.shape[-1])
+    h = jax.nn.relu(_linear(params["fc1"], z))
+    h = jax.nn.relu(_linear(params["fc2"], h))
+    # spatial size is static from the weight shapes (no non-array leaves in
+    # the params pytree, so optimizers see only tensors)
+    c = _CONV_CHANNELS[1]
+    s = int(math.isqrt(params["fc2"]["w"].shape[1] // c))
+    h = h.reshape(-1, s, s, c)
+    h = jax.nn.relu(_conv_transpose(params["deconv1"], h, 2))
+    logits = _conv_transpose(params["deconv2"], h, 2)
+    return logits.reshape(batch + logits.shape[1:])

@@ -1,0 +1,213 @@
+"""Mixed-curvature VAE: pure-function encode / reparametrize / decode / ELBO
+/ IWAE, jit-compiled end to end.
+
+Capability parity with ``mt/mvae/models/vae.py`` (ModelVAE), ``ffnn_vae.py``
+and ``conv_vae.py`` in oskopek/mvae [UNVERIFIED]:
+
+  forward:  encoder(x) -> features; per-component heads -> reparametrize;
+            z = concat over components (ambient coords); decoder(z) ->
+            Bernoulli logits; ELBO = E[log p(x|z)] - sum_c KL_c  (SURVEY §3.2)
+  log_likelihood: IWAE-n marginal estimate logsumexp_n[log p(x|z) + log p(z)
+            - log q(z|x)] - log n  (SURVEY §3.3 — the north-star metric)
+
+TPU-native shape: the model is a static config (components tuple + arch) and
+a params pytree; a single jitted step covers the whole product latent with
+trace-time component unrolling. IWAE importance samples run as a
+``lax.map`` over chunks so the peak memory is chunk-bounded while everything
+stays on-device.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..components import Component, reparametrize, sample_prior, total_ambient_dim
+from . import nets
+
+
+@dataclasses.dataclass(frozen=True)
+class VAEConfig:
+    """Static model description (hashable: safe as a jit static arg)."""
+
+    components: tuple[Component, ...]
+    data_shape: tuple[int, ...]      # (D,) flat or (H, W, C) images
+    arch: str = "mlp"                # 'mlp' | 'conv'
+    h_dim: int = 400
+    encoder_depth: int = 1
+    decoder_depth: int = 1
+
+    def __post_init__(self):
+        if self.arch not in ("mlp", "conv"):
+            raise ValueError(f"unknown arch {self.arch!r}")
+        if self.arch == "conv" and len(self.data_shape) != 3:
+            raise ValueError("conv arch needs (H, W, C) data_shape")
+
+    @property
+    def flat_dim(self) -> int:
+        out = 1
+        for s in self.data_shape:
+            out *= s
+        return out
+
+    @property
+    def z_dim(self) -> int:
+        return total_ambient_dim(self.components)
+
+
+def init_params(key, cfg: VAEConfig, init_k: float = 1.0,
+                dtype=jnp.float32):
+    k_enc, k_dec, k_comp = jax.random.split(key, 3)
+    if cfg.arch == "mlp":
+        encoder = nets.mlp_encoder_init(k_enc, cfg.flat_dim, cfg.h_dim,
+                                        dtype, cfg.encoder_depth)
+        decoder = nets.mlp_decoder_init(k_dec, cfg.z_dim, cfg.h_dim,
+                                        cfg.flat_dim, dtype,
+                                        cfg.decoder_depth)
+    else:
+        h, w, c = cfg.data_shape
+        assert h == w, "conv arch assumes square images"
+        encoder = nets.conv_encoder_init(k_enc, h, c, cfg.h_dim, dtype)
+        decoder = nets.conv_decoder_init(k_dec, cfg.z_dim, cfg.h_dim, h, c,
+                                         dtype)
+    comp_keys = jax.random.split(k_comp, len(cfg.components))
+    comps = tuple(
+        comp.init_params(ck, cfg.h_dim, init_k, dtype)
+        for comp, ck in zip(cfg.components, comp_keys))
+    return {"encoder": encoder, "decoder": decoder, "components": comps}
+
+
+def encode(cfg: VAEConfig, params, x):
+    if cfg.arch == "mlp":
+        flat = x.reshape(x.shape[:-len(cfg.data_shape)] + (cfg.flat_dim,))
+        return nets.mlp_encoder_apply(params["encoder"], flat)
+    return nets.conv_encoder_apply(params["encoder"], x)
+
+
+def decode(cfg: VAEConfig, params, z):
+    if cfg.arch == "mlp":
+        logits = nets.mlp_decoder_apply(params["decoder"], z)
+        return logits.reshape(z.shape[:-1] + cfg.data_shape)
+    return nets.conv_decoder_apply(params["decoder"], z)
+
+
+def bernoulli_log_prob(logits, x):
+    """Elementwise log Bernoulli(x | sigmoid(logits)), stable form
+    x*l - softplus(l)  (== x log s + (1-x) log(1-s))."""
+    return x * logits - jax.nn.softplus(logits)
+
+
+def _sum_data_axes(a, n_data_axes: int):
+    return jnp.sum(a, axis=tuple(range(a.ndim - n_data_axes, a.ndim)))
+
+
+class Forward:
+    """Named results of one forward pass (reference ``Outputs`` parity)."""
+
+    __slots__ = ("z", "log_px_z", "log_q", "log_p", "kl_per_comp",
+                 "curvatures")
+
+    def __init__(self, z, log_px_z, log_q, log_p, kl_per_comp, curvatures):
+        self.z = z
+        self.log_px_z = log_px_z
+        self.log_q = log_q
+        self.log_p = log_p
+        self.kl_per_comp = kl_per_comp
+        self.curvatures = curvatures
+
+
+def forward_from_features(key, cfg: VAEConfig, params, x, feats) -> Forward:
+    """Reparameterize + decode from precomputed encoder features (the IWAE
+    path encodes once and draws many importance samples from the same q)."""
+    keys = jax.random.split(key, len(cfg.components))
+    zs, log_qs, log_ps, kls, curvs = [], [], [], [], []
+    for comp, cp, ck in zip(cfg.components, params["components"], keys):
+        rep = reparametrize(ck, comp, cp, feats)
+        zs.append(rep.z)
+        log_qs.append(rep.log_q)
+        log_ps.append(rep.log_p)
+        kls.append(rep.kl)
+        curvs.append(comp.curvature(cp))
+    z = jnp.concatenate(zs, axis=-1)
+    logits = decode(cfg, params, z)
+    ll = x * logits - jax.nn.softplus(logits)
+    log_px_z = _sum_data_axes(ll, len(cfg.data_shape))
+    return Forward(z, log_px_z,
+                   sum(log_qs), sum(log_ps),
+                   jnp.stack(kls, axis=-1), jnp.stack(curvs))
+
+
+def forward(key, cfg: VAEConfig, params, x) -> Forward:
+    """One reparameterized forward pass: returns everything ELBO/IWAE need."""
+    feats = encode(cfg, params, x)
+    return forward_from_features(key, cfg, params, x, feats)
+
+
+def elbo(key, cfg: VAEConfig, params, x, beta: float = 1.0):
+    """Per-example ELBO and a stats dict (single-sample MC KL, as in the
+    reference's training objective)."""
+    fwd = forward(key, cfg, params, x)
+    kl_total = jnp.sum(fwd.kl_per_comp, axis=-1)
+    value = fwd.log_px_z - beta * kl_total
+    stats = {
+        "elbo": jnp.mean(value),
+        "bce": jnp.mean(-fwd.log_px_z),
+        "kl": jnp.mean(kl_total),
+        "kl_per_comp": jnp.mean(fwd.kl_per_comp, axis=0),
+        "curvature": fwd.curvatures,
+    }
+    return value, stats
+
+
+def loss_fn(key, cfg: VAEConfig, params, x, beta: float = 1.0):
+    value, stats = elbo(key, cfg, params, x, beta)
+    return -jnp.mean(value), stats
+
+
+def log_likelihood(key, cfg: VAEConfig, params, x, n_samples: int = 500,
+                   chunk_size: int = 20):
+    """IWAE marginal log-likelihood estimate per example (SURVEY.md §3.3).
+
+    log p(x) ~= logsumexp_i [log p(x|z_i) + log p(z_i) - log q(z_i|x)] - log n
+
+    Importance samples are drawn in ``lax.map`` chunks of ``chunk_size`` so
+    device memory stays bounded at chunk x batch x data; the log-weights
+    (n, B) stay resident (tiny) and one logsumexp finishes the job.
+    """
+    assert n_samples % chunk_size == 0, "n_samples must divide into chunks"
+    n_chunks = n_samples // chunk_size
+    keys = jax.random.split(key, n_chunks)
+    feats = encode(cfg, params, x)  # encode ONCE for all importance samples
+
+    def one_chunk(ck):
+        cks = jax.random.split(ck, chunk_size)
+
+        def one_sample(sk):
+            fwd = forward_from_features(sk, cfg, params, x, feats)
+            return fwd.log_px_z + fwd.log_p - fwd.log_q
+
+        return jax.lax.map(one_sample, cks)  # (chunk, B)
+
+    log_w = jax.lax.map(one_chunk, keys)  # (n_chunks, chunk, B)
+    log_w = log_w.reshape(n_samples, *log_w.shape[2:])
+    return jax.scipy.special.logsumexp(log_w, axis=0) - jnp.log(
+        jnp.asarray(float(n_samples), log_w.dtype))
+
+
+def generate(key, cfg: VAEConfig, params, n: int, dtype=jnp.float32):
+    """Ancestral sampling: prior draw per component -> decoder Bernoulli mean."""
+    keys = jax.random.split(key, len(cfg.components) + 1)
+    zs = [
+        sample_prior(kk, comp, cp, (n,), dtype)
+        for comp, cp, kk in zip(cfg.components, params["components"], keys[1:])
+    ]
+    logits = decode(cfg, params, jnp.concatenate(zs, axis=-1))
+    return jax.nn.sigmoid(logits)
+
+
+def reconstruct(key, cfg: VAEConfig, params, x):
+    fwd = forward(key, cfg, params, x)
+    logits = decode(cfg, params, fwd.z)
+    return jax.nn.sigmoid(logits)

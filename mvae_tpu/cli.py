@@ -1,0 +1,105 @@
+"""CLI entry point (L7).
+
+Parity with ``mt/examples/run.py`` in oskopek/mvae [UNVERIFIED]:
+
+    python -m mvae_tpu.cli --dataset mnist --model h2,s2,e2 \
+        --fixed_curvature false --epochs 100 --likelihood_n 500
+
+Flag-name parity where the reference flags are known (SURVEY.md §2 CLI row):
+--dataset, --model (spec string), --fixed_curvature, --epochs, --batch_size,
+--likelihood_n, --seed, --burnin (curvature warmup epochs). The reference's
+``--doubles`` float64 switch is intentionally ABSENT: the whole point of
+this rebuild is f32/bf16 stability (use --dtype bfloat16 to go lower, not
+higher). New flags: --resume for true checkpoint resume.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+from pathlib import Path
+
+
+def _str2bool(v: str) -> bool:
+    if v.lower() in ("true", "1", "yes", "y"):
+        return True
+    if v.lower() in ("false", "0", "no", "n"):
+        return False
+    raise argparse.ArgumentTypeError(f"boolean expected, got {v!r}")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="mvae-tpu",
+        description="TPU-native mixed-curvature VAE training")
+    p.add_argument("--dataset", default="mnist",
+                   choices=["mnist", "omniglot", "cifar", "bdp"])
+    p.add_argument("--model", default="e6",
+                   help="latent spec, e.g. 'h2,s2,e2', '2h2', 'u6', "
+                        "'s6:wrapped', 'd6:riemannian'")
+    p.add_argument("--fixed_curvature", type=_str2bool, default=True)
+    p.add_argument("--epochs", type=int, default=100)
+    p.add_argument("--batch_size", type=int, default=128)
+    p.add_argument("--h_dim", type=int, default=400)
+    p.add_argument("--arch", default=None, choices=[None, "mlp", "conv"],
+                   help="default: conv for cifar, mlp otherwise")
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--curvature_lr", type=float, default=1e-4)
+    p.add_argument("--burnin", type=int, default=10,
+                   help="epochs with curvature frozen")
+    p.add_argument("--beta", type=float, default=1.0)
+    p.add_argument("--likelihood_n", type=int, default=500)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--dtype", default="float32",
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--run_dir", default=None)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--checkpoint_every", type=int, default=0)
+    p.add_argument("--ll_max_examples", type=int, default=None,
+                   help="cap IWAE eval set size (speed)")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    from .components import canonical_name, parse_components
+    from .data import load_dataset
+    from .models import VAEConfig
+    from .train import TrainConfig, Trainer
+
+    components = parse_components(args.model,
+                                  fixed_curvature=args.fixed_curvature)
+    dataset = load_dataset(args.dataset)
+    arch = args.arch or ("conv" if args.dataset == "cifar" else "mlp")
+    model_cfg = VAEConfig(components=components,
+                          data_shape=dataset.data_shape, arch=arch,
+                          h_dim=args.h_dim)
+    tc = TrainConfig(epochs=args.epochs, batch_size=args.batch_size,
+                     lr=args.lr, curvature_lr=args.curvature_lr,
+                     burnin_epochs=args.burnin, beta=args.beta,
+                     seed=args.seed, likelihood_n=args.likelihood_n,
+                     checkpoint_every=args.checkpoint_every,
+                     dtype=args.dtype)
+    run_dir = args.run_dir or (
+        f"runs/{args.dataset}_{args.model.replace(',', '-').replace(':', '.')}"
+        f"_{'fixed' if args.fixed_curvature else 'learn'}_s{args.seed}")
+
+    print(f"model {canonical_name(components)} on {dataset.name} "
+          f"({'synthetic stand-in' if dataset.synthetic else 'real data'}), "
+          f"arch={arch}, dtype={args.dtype}, run_dir={run_dir}")
+
+    trainer = Trainer(model_cfg, dataset, tc, run_dir)
+    if args.resume:
+        trainer.restore_checkpoint()
+        print(f"resumed at step {int(trainer.step)}")
+    result = trainer.fit()
+
+    summary = {k: v for k, v in result.items() if k != "history"}
+    Path(run_dir).mkdir(parents=True, exist_ok=True)
+    (Path(run_dir) / "result.json").write_text(json.dumps(summary, indent=2))
+    print(json.dumps(summary))
+    return result
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,279 @@
+"""Training / evaluation loop (L5), jit-compiled end to end.
+
+Capability parity with the reference trainer (``mt/mvae/trainer.py`` in
+oskopek/mvae [UNVERIFIED], SURVEY.md §3.1): Adam, curvature parameters
+FROZEN for a burn-in epoch count then unfrozen when curvature is learnable
+(optionally with their own learning rate), per-epoch test ELBO, end-of-
+training IWAE-n marginal LL, scalar metrics (ELBO/BCE/per-component KL/
+curvature values), checkpointing.
+
+TPU-native differences:
+
+* the whole epoch is ONE ``lax.scan`` over device-resident data — batches
+  are gathered on device from a precomputed permutation, dynamic
+  binarization keys are folded per-step, and the host only sees per-epoch
+  means (no step-wise host<->device ping-pong);
+* the curvature burn-in is a traced gradient mask (step >= burnin), so the
+  same compiled step serves both phases — no recompile at unfreeze;
+* curvature leaves get their own Adam via optax.multi_transform;
+* checkpoints carry params + optimizer state + PRNG + step (true resume).
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..data.base import ArrayDataset, binarize_batch
+from ..models import vae
+from .metrics import MetricsLogger
+from .stats import EpochStats
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    epochs: int = 100
+    batch_size: int = 128
+    lr: float = 1e-3
+    curvature_lr: float = 1e-4
+    burnin_epochs: int = 10
+    beta: float = 1.0
+    seed: int = 42
+    likelihood_n: int = 500
+    likelihood_chunk: int = 20
+    eval_batch_size: int = 512
+    checkpoint_every: int = 0      # epochs; 0 = only at the end
+    dtype: str = "float32"
+
+
+def _curvature_labels(params):
+    """Label pytree: 'curv' for curvature leaves, 'net' for everything else."""
+    def comp_labels(comp_params):
+        return {k: ("curv" if k == "c_param" else "net")
+                for k in comp_params}
+    return {
+        "encoder": jax.tree.map(lambda _: "net", params["encoder"]),
+        "decoder": jax.tree.map(lambda _: "net", params["decoder"]),
+        "components": tuple(comp_labels(cp) for cp in params["components"]),
+    }
+
+
+def make_optimizer(params, tc: TrainConfig):
+    return optax.multi_transform(
+        {"net": optax.adam(tc.lr), "curv": optax.adam(tc.curvature_lr)},
+        _curvature_labels(params))
+
+
+def _mask_curvature_grads(grads, components, step, burnin_steps):
+    """Zero curvature grads when fixed (static) or during burn-in (traced)."""
+    unfrozen = (step >= burnin_steps).astype(jnp.float32)
+    new_comps = []
+    for comp, g in zip(components, grads["components"]):
+        g = dict(g)
+        if "c_param" in g:
+            if comp.fixed_curvature:
+                g["c_param"] = jnp.zeros_like(g["c_param"])
+            else:
+                g["c_param"] = g["c_param"] * unfrozen.astype(
+                    g["c_param"].dtype)
+        new_comps.append(g)
+    return {**grads, "components": tuple(new_comps)}
+
+
+def make_train_epoch(model_cfg: vae.VAEConfig, tc: TrainConfig, tx,
+                     binarize: bool, steps_per_epoch: int):
+    """Returns jitted fn: (params, opt_state, data, perm, step0, key) ->
+    (params, opt_state, stats_means). One lax.scan = one epoch on device."""
+
+    burnin_steps = tc.burnin_epochs * steps_per_epoch
+
+    def one_step(carry, idx):
+        params, opt_state, step = carry
+        data, batch_idx, key0 = idx
+        key = jax.random.fold_in(key0, step)
+        k_bin, k_model = jax.random.split(key)
+        x = jnp.take(data, batch_idx, axis=0)
+        x = binarize_batch(k_bin, x, binarize)
+
+        def scalar_loss(p):
+            return vae.loss_fn(k_model, model_cfg, p, x, tc.beta)
+
+        (loss, stats), grads = jax.value_and_grad(scalar_loss,
+                                                  has_aux=True)(params)
+        grads = _mask_curvature_grads(grads, model_cfg.components, step,
+                                      burnin_steps)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state, step + 1), stats
+
+    def train_epoch(params, opt_state, data, perm, step0, key):
+        idxs = perm.reshape(steps_per_epoch, tc.batch_size)
+
+        def body(carry, batch_idx):
+            return one_step(carry, (data, batch_idx, key))
+
+        (params, opt_state, step), stats_seq = jax.lax.scan(
+            body, (params, opt_state, step0), idxs)
+        stats_means = jax.tree.map(lambda a: jnp.mean(a, axis=0), stats_seq)
+        # curvature is a snapshot, not a mean-over-steps quantity
+        stats_means["curvature"] = stats_seq["curvature"][-1]
+        return params, opt_state, step, stats_means
+
+    return jax.jit(train_epoch, donate_argnums=(0, 1))
+
+
+def make_eval_elbo(model_cfg: vae.VAEConfig, tc: TrainConfig, binarize: bool):
+    def eval_batch(params, x, key):
+        k_bin, k_model = jax.random.split(key)
+        x = binarize_batch(k_bin, x, binarize)
+        _, stats = vae.elbo(k_model, model_cfg, params, x, tc.beta)
+        return stats
+
+    return jax.jit(eval_batch)
+
+
+def make_eval_ll(model_cfg: vae.VAEConfig, tc: TrainConfig, binarize: bool):
+    def eval_batch(params, x, key):
+        k_bin, k_model = jax.random.split(key)
+        x = binarize_batch(k_bin, x, binarize)
+        return vae.log_likelihood(k_model, model_cfg, params, x,
+                                  tc.likelihood_n, tc.likelihood_chunk)
+
+    return jax.jit(eval_batch)
+
+
+class Trainer:
+    """Orchestrates epochs on a device-resident dataset."""
+
+    def __init__(self, model_cfg: vae.VAEConfig, dataset: ArrayDataset,
+                 tc: TrainConfig, run_dir: str = "runs/default"):
+        self.model_cfg = model_cfg
+        self.dataset = dataset
+        self.tc = tc
+        self.run_dir = run_dir
+        self.logger = MetricsLogger(run_dir)
+        self.dtype = jnp.dtype(tc.dtype)
+
+        self.steps_per_epoch = len(dataset.train) // tc.batch_size
+        key = jax.random.key(tc.seed)
+        self.key, init_key = jax.random.split(key)
+        self.params = vae.init_params(init_key, model_cfg, dtype=self.dtype)
+        self.tx = make_optimizer(self.params, tc)
+        self.opt_state = self.tx.init(self.params)
+        self.step = jnp.zeros((), jnp.int32)
+
+        self._train_epoch = make_train_epoch(model_cfg, tc, self.tx,
+                                             dataset.binarize,
+                                             self.steps_per_epoch)
+        self._eval_elbo = make_eval_elbo(model_cfg, tc, dataset.binarize)
+        self._eval_ll = make_eval_ll(model_cfg, tc, dataset.binarize)
+
+        self._train_data = jnp.asarray(dataset.train, self.dtype)
+        self._test_data = jnp.asarray(dataset.test, self.dtype)
+        self.component_names = [
+            f"{c.name}#{i}" for i, c in enumerate(model_cfg.components)]
+        self.history: list[dict] = []
+
+    # --- loops ---------------------------------------------------------------
+
+    def train_one_epoch(self, epoch: int) -> dict:
+        self.key, k_perm, k_epoch = jax.random.split(self.key, 3)
+        n = self.steps_per_epoch * self.tc.batch_size
+        perm = jax.random.permutation(k_perm, len(self._train_data))[:n]
+        self.params, self.opt_state, self.step, stats = self._train_epoch(
+            self.params, self.opt_state, self._train_data, perm, self.step,
+            k_epoch)
+        es = EpochStats(self.component_names)
+        es.update(jax.tree.map(np.asarray, stats))
+        return es.means()
+
+    def evaluate_elbo(self, split: str = "test") -> dict:
+        es = EpochStats(self.component_names)
+        data = self._test_data if split == "test" else self._train_data
+        bs = self.tc.eval_batch_size
+        n_full = max(1, len(data) // bs)
+        for b in range(n_full):
+            self.key, k = jax.random.split(self.key)
+            stats = self._eval_elbo(self.params, data[b * bs:(b + 1) * bs], k)
+            es.update(jax.tree.map(np.asarray, stats))
+        return es.means()
+
+    def evaluate_log_likelihood(self, split: str = "test",
+                                max_examples: int | None = None) -> float:
+        data = self._test_data if split == "test" else self._train_data
+        if max_examples:
+            data = data[:max_examples]
+        bs = min(self.tc.eval_batch_size, len(data))
+        lls = []
+        for b in range(0, len(data) - bs + 1, bs):
+            self.key, k = jax.random.split(self.key)
+            ll = self._eval_ll(self.params, data[b:b + bs], k)
+            lls.append(np.asarray(ll))
+        return float(np.mean(np.concatenate(lls)))
+
+    def fit(self, verbose: bool = True) -> dict:
+        t0 = time.time()
+        for epoch in range(self.tc.epochs):
+            train_stats = self.train_one_epoch(epoch)
+            rec = {f"train/{k}": v for k, v in train_stats.items()}
+            test_stats = self.evaluate_elbo("test")
+            rec.update({f"test/{k}": v for k, v in test_stats.items()})
+            rec["epoch"] = epoch
+            self.logger.log(int(self.step), rec)
+            self.history.append(rec)
+            if verbose:
+                es_line = EpochStats(self.component_names)
+                es_line.update({k: v for k, v in train_stats.items()
+                                if "/" not in k})
+                print(f"epoch {epoch + 1}/{self.tc.epochs} "
+                      f"train[{_fmt(train_stats)}] test[{_fmt(test_stats)}]")
+            if (self.tc.checkpoint_every
+                    and (epoch + 1) % self.tc.checkpoint_every == 0):
+                self.save_checkpoint()
+        ll = self.evaluate_log_likelihood("test")
+        wall = time.time() - t0
+        final = {"test/log_likelihood_iwae": ll, "wall_seconds": wall,
+                 "steps_per_sec": float(self.step) / max(wall, 1e-9)}
+        self.logger.log(int(self.step), final)
+        self.save_checkpoint()
+        if verbose:
+            print(f"final IWAE-{self.tc.likelihood_n} test LL: {ll:.3f} "
+                  f"({wall:.1f}s, {final['steps_per_sec']:.1f} steps/s)")
+        return {**final, "history": self.history}
+
+    # --- checkpointing -------------------------------------------------------
+
+    def state(self) -> dict:
+        return {"params": self.params, "opt_state": self.opt_state,
+                "step": self.step, "key": jax.random.key_data(self.key)}
+
+    def save_checkpoint(self):
+        from .. import checkpoint
+        return checkpoint.save(f"{self.run_dir}/ckpt", int(self.step),
+                               self.state())
+
+    def restore_checkpoint(self, step: int | None = None):
+        from .. import checkpoint
+        restored = checkpoint.restore(f"{self.run_dir}/ckpt", self.state(),
+                                      step)
+        self.params = restored["params"]
+        self.opt_state = restored["opt_state"]
+        self.step = restored["step"]
+        self.key = jax.random.wrap_key_data(restored["key"])
+
+
+def _fmt(stats: dict) -> str:
+    parts = []
+    for k in ("elbo", "bce", "kl"):
+        if k in stats:
+            parts.append(f"{k}={stats[k]:.2f}")
+    curvs = [f"{v:+.2f}" for k, v in sorted(stats.items())
+             if k.startswith("curvature/")]
+    if curvs:
+        parts.append("K=" + ",".join(curvs))
+    return " ".join(parts)

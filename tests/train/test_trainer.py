@@ -1,0 +1,136 @@
+"""L5/L6/L7 tests: dataset invariants, epoch-scan training decreases loss,
+curvature burn-in freeze semantics, checkpoint resume, CLI smoke."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mvae_tpu.components import parse_components
+from mvae_tpu.data import ArrayDataset, binarize_batch, generate_bdp
+from mvae_tpu.models import VAEConfig
+from mvae_tpu.train import TrainConfig, Trainer
+
+
+def tiny_dataset(n=256, d=20, seed=0):
+    rng = np.random.default_rng(seed)
+    protos = rng.random((4, d)).astype(np.float32)
+    train = protos[rng.integers(0, 4, n)]
+    test = protos[rng.integers(0, 4, max(n // 4, 64))]
+    return ArrayDataset("tiny", train, test, (d,), binarize=True)
+
+
+def make_trainer(tmp_path, spec="h2,e2", fixed=True, epochs=3, burnin=1,
+                 **tc_kw):
+    ds = tiny_dataset()
+    cfg = VAEConfig(components=parse_components(spec, fixed_curvature=fixed),
+                    data_shape=ds.data_shape, arch="mlp", h_dim=32)
+    tc = TrainConfig(epochs=epochs, batch_size=64, burnin_epochs=burnin,
+                     likelihood_n=20, likelihood_chunk=10, lr=5e-3,
+                     eval_batch_size=64, **tc_kw)
+    return Trainer(cfg, ds, tc, run_dir=str(tmp_path / "run"))
+
+
+class TestData:
+    def test_binarize(self):
+        x = jnp.asarray([[0.0, 1.0, 0.5]])
+        out = binarize_batch(jax.random.key(0), x, True)
+        assert set(np.unique(np.asarray(out))) <= {0.0, 1.0}
+        np.testing.assert_allclose(
+            np.asarray(binarize_batch(jax.random.key(0), x, False)), x)
+
+    def test_bdp_deterministic(self):
+        a, b = generate_bdp(dim=16, depth=5), generate_bdp(dim=16, depth=5)
+        np.testing.assert_array_equal(a.train, b.train)
+        assert set(np.unique(a.train)) <= {0.0, 1.0}
+
+    def test_epoch_batches_shapes(self):
+        ds = tiny_dataset()
+        batches = list(ds.epoch_batches(0, 100))
+        assert all(b.shape == (100, 20) for b in batches)
+        # different epochs shuffle differently
+        b0 = next(ds.epoch_batches(0, 100))
+        b1 = next(ds.epoch_batches(1, 100))
+        assert not np.array_equal(b0, b1)
+
+
+class TestTrainer:
+    def test_loss_decreases(self, tmp_path):
+        tr = make_trainer(tmp_path, epochs=5)
+        first = tr.train_one_epoch(0)
+        for e in range(1, 5):
+            last = tr.train_one_epoch(e)
+        assert last["elbo"] > first["elbo"] + 0.5
+
+    def test_eval_and_ll(self, tmp_path):
+        tr = make_trainer(tmp_path, epochs=1)
+        tr.train_one_epoch(0)
+        stats = tr.evaluate_elbo()
+        assert np.isfinite(stats["elbo"])
+        ll = tr.evaluate_log_likelihood()
+        assert np.isfinite(ll)
+        assert ll >= stats["elbo"] - 0.5  # IWAE at least as tight
+
+    def test_curvature_frozen_during_burnin(self, tmp_path):
+        tr = make_trainer(tmp_path, spec="h2,s2", fixed=False, epochs=3,
+                          burnin=2)
+        k0 = [float(c.curvature(p)) for c, p in
+              zip(tr.model_cfg.components, tr.params["components"])]
+        tr.train_one_epoch(0)  # burn-in: frozen
+        k1 = [float(c.curvature(p)) for c, p in
+              zip(tr.model_cfg.components, tr.params["components"])]
+        np.testing.assert_allclose(k1, k0, rtol=1e-12)
+        tr.train_one_epoch(1)  # still burn-in
+        tr.train_one_epoch(2)  # unfrozen now
+        k3 = [float(c.curvature(p)) for c, p in
+              zip(tr.model_cfg.components, tr.params["components"])]
+        assert any(abs(a - b) > 1e-6 for a, b in zip(k3, k0))
+
+    def test_fixed_curvature_never_moves(self, tmp_path):
+        tr = make_trainer(tmp_path, spec="h2", fixed=True, epochs=3,
+                          burnin=0)
+        k0 = float(tr.model_cfg.components[0].curvature(
+            tr.params["components"][0]))
+        for e in range(3):
+            tr.train_one_epoch(e)
+        k1 = float(tr.model_cfg.components[0].curvature(
+            tr.params["components"][0]))
+        assert k0 == k1
+
+    def test_checkpoint_resume(self, tmp_path):
+        tr = make_trainer(tmp_path, epochs=2)
+        tr.train_one_epoch(0)
+        tr.save_checkpoint()
+        step0 = int(tr.step)
+        params0 = jax.tree.map(np.asarray, tr.params)
+
+        tr2 = make_trainer(tmp_path, epochs=2)
+        tr2.restore_checkpoint()
+        assert int(tr2.step) == step0
+        for a, b in zip(jax.tree.leaves(params0),
+                        jax.tree.leaves(jax.tree.map(np.asarray, tr2.params))):
+            np.testing.assert_array_equal(a, b)
+
+    def test_metrics_jsonl_written(self, tmp_path):
+        tr = make_trainer(tmp_path, epochs=1)
+        tr.fit(verbose=False)
+        metrics = (tmp_path / "run" / "metrics.jsonl").read_text().strip()
+        assert len(metrics.splitlines()) >= 2
+
+
+class TestCli:
+    def test_cli_bdp_smoke(self, tmp_path, capsys):
+        from mvae_tpu.cli import main
+        result = main([
+            "--dataset", "bdp", "--model", "e2", "--epochs", "1",
+            "--batch_size", "32", "--h_dim", "16", "--likelihood_n", "20",
+            "--run_dir", str(tmp_path / "cli_run"),
+        ])
+        assert np.isfinite(result["test/log_likelihood_iwae"])
+        assert (tmp_path / "cli_run" / "result.json").exists()
+
+    def test_cli_bad_spec(self):
+        from mvae_tpu.cli import main
+        with pytest.raises(ValueError):
+            main(["--dataset", "bdp", "--model", "zz9", "--epochs", "1"])

@@ -92,7 +92,7 @@ def main(argv=None):
     if args.resume:
         trainer.restore_checkpoint()
         print(f"resumed at step {int(trainer.step)}")
-    result = trainer.fit()
+    result = trainer.fit(ll_max_examples=args.ll_max_examples)
 
     summary = {k: v for k, v in result.items() if k != "history"}
     Path(run_dir).mkdir(parents=True, exist_ok=True)

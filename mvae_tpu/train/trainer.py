@@ -216,7 +216,8 @@ class Trainer:
             lls.append(np.asarray(ll))
         return float(np.mean(np.concatenate(lls)))
 
-    def fit(self, verbose: bool = True) -> dict:
+    def fit(self, verbose: bool = True,
+            ll_max_examples: int | None = None) -> dict:
         t0 = time.time()
         for epoch in range(self.tc.epochs):
             train_stats = self.train_one_epoch(epoch)
@@ -235,7 +236,7 @@ class Trainer:
             if (self.tc.checkpoint_every
                     and (epoch + 1) % self.tc.checkpoint_every == 0):
                 self.save_checkpoint()
-        ll = self.evaluate_log_likelihood("test")
+        ll = self.evaluate_log_likelihood("test", max_examples=ll_max_examples)
         wall = time.time() - t0
         final = {"test/log_likelihood_iwae": ll, "wall_seconds": wall,
                  "steps_per_sec": float(self.step) / max(wall, 1e-9)}

@@ -111,21 +111,42 @@ class Component:
 
     # --- posterior parameter heads ------------------------------------------
 
-    def posterior_params(self, params, features):
-        """features (..., F) -> (mu ambient, scale, k)."""
+    @property
+    def n_scale(self) -> int:
+        """Width of the scale head (1 for scalar-concentration families)."""
+        return 1 if self.posterior in ("vmf", "riemannian") else self.dim
+
+    @property
+    def head_width(self) -> int:
+        """Total head output width (mu tangent + scale), for GEMM fusion."""
+        return self.dim + self.n_scale
+
+    def posterior_params_from_raw(self, params, raw):
+        """raw (..., head_width) pre-activations -> (mu ambient, scale, k).
+
+        Split out so the model can run ALL components' heads as ONE fused
+        GEMM (the per-component tiny matmuls dominated the product-latent
+        step time on TPU)."""
         k = self.curvature(params)
-        mu_tan = features @ params["w_mu"] + params["b_mu"]
+        mu_tan = raw[..., :self.dim]
         mu = self.manifold.exp_map_mu0(mu_tan, k)
-        raw = features @ params["w_sig"] + params["b_sig"]
+        raw_sig = raw[..., self.dim:]
         if self.posterior == "vmf":
             # concentration: softplus + 1 keeps the Wood sampler in its
             # efficient regime and matches the s-vae-style head
-            scale = jax.nn.softplus(raw).squeeze(-1) + 1.0
+            scale = jax.nn.softplus(raw_sig).squeeze(-1) + 1.0
         else:
-            scale = jax.nn.softplus(raw)  # sigma > 0
+            scale = jax.nn.softplus(raw_sig)  # sigma > 0
             if self.posterior == "riemannian":
                 scale = scale.squeeze(-1)
         return mu, scale, k
+
+    def posterior_params(self, params, features):
+        """features (..., F) -> (mu ambient, scale, k)."""
+        raw = jnp.concatenate(
+            [features @ params["w_mu"] + params["b_mu"],
+             features @ params["w_sig"] + params["b_sig"]], axis=-1)
+        return self.posterior_params_from_raw(params, raw)
 
 
 class Reparametrized(NamedTuple):
@@ -137,10 +158,17 @@ class Reparametrized(NamedTuple):
     kl: jax.Array       # (...,) KL estimate used in the ELBO
 
 
-def reparametrize(key, comp: Component, params, features) -> Reparametrized:
-    """Sample z ~ q(.|features) with log q, log p, and the ELBO KL term."""
+def reparametrize(key, comp: Component, params, features,
+                  raw=None) -> Reparametrized:
+    """Sample z ~ q(.|features) with log q, log p, and the ELBO KL term.
+
+    Pass ``raw`` (the component's slice of a fused head GEMM) to skip the
+    per-component head matmuls."""
     man = comp.manifold
-    mu, scale, k = comp.posterior_params(params, features)
+    if raw is None:
+        mu, scale, k = comp.posterior_params(params, features)
+    else:
+        mu, scale, k = comp.posterior_params_from_raw(params, raw)
     dtype = features.dtype
 
     if comp.posterior == "normal":

@@ -68,40 +68,81 @@ def _w_from_eps(eps, b):
     return (1.0 - (1.0 + b) * eps) / (1.0 - (1.0 - b) * eps)
 
 
+_OVERSAMPLE = 16  # proposals drawn at once; P(all rejected) <~ 0.34^16 ~ 3e-8
+
+
+def _gamma_half_int(key, a2: int, shape, dtype):
+    """Gamma(a2/2, 1) for integer a2 >= 1, LOOP-FREE: sum of a2//2
+    exponentials plus (a2 odd) half a squared standard normal. Replaces
+    jax.random.gamma's internal rejection while_loop on the vMF path."""
+    k_exp, k_norm = jax.random.split(key)
+    out = jnp.zeros(shape, dtype)
+    n_exp = a2 // 2
+    if n_exp:
+        u = jax.random.uniform(k_exp, shape + (n_exp,), dtype=dtype,
+                               minval=1e-12)
+        out = -jnp.sum(jnp.log(u), axis=-1)
+    if a2 % 2:
+        z = jax.random.normal(k_norm, shape, dtype=dtype)
+        out = out + 0.5 * z * z
+    return out
+
+
+def _beta_sym_half_int(key, a2: int, shape, dtype):
+    """Beta(a2/2, a2/2) via the exact gamma composition (loop-free)."""
+    k1, k2 = jax.random.split(key)
+    g1 = _gamma_half_int(k1, a2, shape, dtype)
+    g2 = _gamma_half_int(k2, a2, shape, dtype)
+    return g1 / jnp.maximum(g1 + g2, 1e-30)
+
+
+def _sample_w_m3(key, kappa):
+    """EXACT inverse-CDF cosine sampling on S^2 (m = 3): the w-marginal is
+    proportional to e^{kappa w} on [-1, 1], so
+
+        w = 1 + log(u + (1-u) e^{-2 kappa}) / kappa,
+
+    computed in the expm1/log1p form that is stable for both kappa -> 0
+    (uniform limit) and large kappa. No rejection, no loop, and the formula
+    is itself the exact reparameterization — gradients come from plain AD.
+    """
+    u = jax.random.uniform(key, kappa.shape, dtype=kappa.dtype,
+                           minval=1e-7)
+    kap = jnp.maximum(kappa, 1e-6)
+    w = 1.0 + jnp.log1p((1.0 - u) * jnp.expm1(-2.0 * kap)) / kap
+    return jnp.clip(w, -1.0 + 1e-7, 1.0 - 1e-7)
+
+
 def _sample_w_raw(key, m: int, kappa):
-    """Rejection-sample the cosine w in [-1, 1] (Wood 1994); no gradients."""
+    """Rejection-sample the cosine w in [-1, 1] (Wood 1994); no gradients.
+
+    TPU shape: instead of a data-dependent while_loop (whose sequential
+    rounds — with the gamma sampler's own inner rejection loop — dominated
+    the product-latent step time), draw a fixed batch of _OVERSAMPLE
+    proposals per lane in ONE vectorized pass and take each lane's first
+    accepted one. Residual failure probability is ~1e-8 per lane; those
+    lanes fall back to the envelope mode x0.
+    """
     kappa_sg = jax.lax.stop_gradient(kappa)
     b = _wood_b(m, kappa_sg)
     x0 = (1.0 - b) / (1.0 + b)
     mm1 = m - 1.0
     c = kappa_sg * x0 + mm1 * jnp.log1p(-x0 * x0)
 
-    shape = kappa_sg.shape
+    shape = kappa_sg.shape + (_OVERSAMPLE,)
     dtype = kappa_sg.dtype
-
-    def cond(state):
-        i, _, _, accepted = state
-        return jnp.logical_and(i < _MAX_REJECTION_ITERS,
-                               jnp.logical_not(jnp.all(accepted)))
-
-    def body(state):
-        i, key, w_acc, accepted = state
-        key, k_beta, k_u = jax.random.split(key, 3)
-        eps = jax.random.beta(k_beta, mm1 / 2.0, mm1 / 2.0, shape,
-                              dtype=dtype)
-        u = jax.random.uniform(k_u, shape, dtype=dtype, minval=1e-12)
-        w = _w_from_eps(eps, b)
-        ok = (kappa_sg * w + mm1 * jnp.log1p(-jnp.minimum(x0 * w, 1.0 - 1e-7))
-              - c) >= jnp.log(u)
-        newly = jnp.logical_and(ok, jnp.logical_not(accepted))
-        w_acc = jnp.where(newly, w, w_acc)
-        return i + 1, key, w_acc, jnp.logical_or(accepted, ok)
-
-    init_w = jnp.full(shape, x0, dtype=dtype)  # envelope mode as fallback
-    _, _, w_acc, _ = jax.lax.while_loop(
-        cond, body, (jnp.zeros((), jnp.int32), key, init_w,
-                     jnp.zeros(shape, bool)))
-    return w_acc
+    k_beta, k_u = jax.random.split(key)
+    eps = _beta_sym_half_int(k_beta, m - 1, shape, dtype)
+    u = jax.random.uniform(k_u, shape, dtype=dtype, minval=1e-12)
+    bb, xx0, cc = b[..., None], x0[..., None], c[..., None]
+    w = _w_from_eps(eps, bb)
+    ok = (kappa_sg[..., None] * w
+          + mm1 * jnp.log1p(-jnp.minimum(xx0 * w, 1.0 - 1e-7))
+          - cc) >= jnp.log(u)
+    first = jnp.argmax(ok, axis=-1)
+    w_first = jnp.take_along_axis(w, first[..., None], axis=-1)[..., 0]
+    any_ok = jnp.any(ok, axis=-1)
+    return jnp.where(any_ok, w_first, x0)
 
 
 # --- implicit reparameterization of w ---------------------------------------
@@ -170,7 +211,10 @@ def sample(key, mu, kappa, k):
     """
     m = mu.shape[-1]
     k_w, k_dir = jax.random.split(key)
-    w = _sample_w(k_w, m, kappa)  # implicit-reparameterized in kappa
+    if m == 3:
+        w = _sample_w_m3(k_w, kappa)  # exact inverse-CDF, plain AD
+    else:
+        w = _sample_w(k_w, m, kappa)  # implicit-reparameterized in kappa
 
     # tangent direction: uniform on S^{m-2}
     g = jax.random.normal(k_dir, mu.shape[:-1] + (m - 1,), dtype=mu.dtype)

@@ -72,9 +72,19 @@ def _log_prob_from_principal(man, v, sigma, k, wraps: int):
     frame), summing over wrap images for K > 0."""
     n = man.dim
     dtype = v.dtype
+    zero = jnp.zeros((), dtype=dtype)
+
+    # Manifolds whose curvature sign is pinned non-positive (e/h/d) can
+    # never wrap — skip the dead image branches AT TRACE TIME (the jitted
+    # product-latent step stays lean; only s/p/u pay for wrapping).
+    if man.curvature_sign < 0 or man.kind == "e":
+        wraps = 0
+    if wraps == 0 and (man.curvature_sign < 0 or man.kind == "e"):
+        r = stable.safe_norm(v)
+        return normal.log_prob(v, zero, sigma) - man.logdet_exp_mu0(r, k)
+
     r = stable.safe_norm(v, keepdims=True)
     v_hat = v / r
-    zero = jnp.zeros((), dtype=dtype)
 
     # geodesic period T = 2 pi / sqrt(K) for K > 0; effectively infinite else
     period = jnp.where(k > 0,

@@ -118,13 +118,33 @@ class Forward:
         self.curvatures = curvatures
 
 
+def _fused_head_raw(cfg: VAEConfig, params, feats):
+    """Run ALL components' mu/scale heads as ONE GEMM and slice per
+    component (tiny per-component matmuls dominated product-latent step
+    time on TPU); returns the list of raw head slices."""
+    ws, bs = [], []
+    for comp, cp in zip(cfg.components, params["components"]):
+        ws.extend((cp["w_mu"], cp["w_sig"]))
+        bs.extend((cp["b_mu"], cp["b_sig"]))
+    raw_all = feats @ jnp.concatenate(ws, axis=1) + jnp.concatenate(bs)
+    raws, off = [], 0
+    for comp in cfg.components:
+        # the concat order (w_mu, w_sig) already matches the per-component
+        # [mu | scale] head layout, so a contiguous slice is enough
+        raws.append(raw_all[..., off:off + comp.head_width])
+        off += comp.head_width
+    return raws
+
+
 def forward_from_features(key, cfg: VAEConfig, params, x, feats) -> Forward:
     """Reparameterize + decode from precomputed encoder features (the IWAE
     path encodes once and draws many importance samples from the same q)."""
     keys = jax.random.split(key, len(cfg.components))
+    raws = _fused_head_raw(cfg, params, feats)
     zs, log_qs, log_ps, kls, curvs = [], [], [], [], []
-    for comp, cp, ck in zip(cfg.components, params["components"], keys):
-        rep = reparametrize(ck, comp, cp, feats)
+    for comp, cp, ck, raw in zip(cfg.components, params["components"], keys,
+                                 raws):
+        rep = reparametrize(ck, comp, cp, feats, raw=raw)
         zs.append(rep.z)
         log_qs.append(rep.log_q)
         log_ps.append(rep.log_p)

@@ -83,21 +83,23 @@ def main():
     t0 = time.time()
     params, opt_state, loss = run_chunk(params, opt_state, intensities,
                                         jax.random.key(2))
-    loss.block_until_ready()
-    log(f"compile+first chunk: {time.time() - t0:.1f}s, loss={float(loss):.2f}")
+    loss = float(loss)  # host readback: block_until_ready on the axon
+    # backend returns before execution completes (measured); a value
+    # readback is the only reliable completion barrier
+    log(f"compile+first chunk: {time.time() - t0:.1f}s, loss={loss:.2f}")
 
     times = []
     for i in range(REPEATS):
         t0 = time.time()
         params, opt_state, loss = run_chunk(params, opt_state, intensities,
                                             jax.random.key(3 + i))
-        loss.block_until_ready()
+        loss = float(loss)
         times.append(time.time() - t0)
     best = min(times)
     steps_per_sec = SCAN_STEPS / best
     log(f"chunk times: {['%.3f' % t for t in times]} -> "
         f"{steps_per_sec:.1f} steps/s ({steps_per_sec * BATCH:.0f} ex/s), "
-        f"final loss {float(loss):.2f}")
+        f"final loss {loss:.2f}")
     if not jnp.isfinite(loss):
         raise SystemExit("non-finite loss in bench")
 

@@ -56,6 +56,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint_every", type=int, default=0)
     p.add_argument("--ll_max_examples", type=int, default=None,
                    help="cap IWAE eval set size (speed)")
+    p.add_argument("--mesh", default=None,
+                   help="device mesh 'DATA,MODEL' (e.g. '4,2'); default "
+                        "single device")
     return p
 
 
@@ -74,12 +77,16 @@ def main(argv=None):
     model_cfg = VAEConfig(components=components,
                           data_shape=dataset.data_shape, arch=arch,
                           h_dim=args.h_dim)
+    mesh_shape = None
+    if args.mesh:
+        parts = [int(v) for v in args.mesh.split(",")]
+        mesh_shape = (parts[0], parts[1] if len(parts) > 1 else 1)
     tc = TrainConfig(epochs=args.epochs, batch_size=args.batch_size,
                      lr=args.lr, curvature_lr=args.curvature_lr,
                      burnin_epochs=args.burnin, beta=args.beta,
                      seed=args.seed, likelihood_n=args.likelihood_n,
                      checkpoint_every=args.checkpoint_every,
-                     dtype=args.dtype)
+                     dtype=args.dtype, mesh_shape=mesh_shape)
     run_dir = args.run_dir or (
         f"runs/{args.dataset}_{args.model.replace(',', '-').replace(':', '.')}"
         f"_{'fixed' if args.fixed_curvature else 'learn'}_s{args.seed}")

@@ -49,6 +49,9 @@ class TrainConfig:
     eval_batch_size: int = 512
     checkpoint_every: int = 0      # epochs; 0 = only at the end
     dtype: str = "float32"
+    # (data, model) mesh shape; None = single device. Batch must divide by
+    # the data axis; the model axis shards the wide encoder/decoder GEMMs.
+    mesh_shape: tuple[int, int] | None = None
 
 
 def _curvature_labels(params):
@@ -86,18 +89,19 @@ def _mask_curvature_grads(grads, components, step, burnin_steps):
 
 
 def make_train_epoch(model_cfg: vae.VAEConfig, tc: TrainConfig, tx,
-                     binarize: bool, steps_per_epoch: int):
+                     binarize: bool, steps_per_epoch: int, mesh=None):
     """Returns jitted fn: (params, opt_state, data, perm, step0, key) ->
-    (params, opt_state, stats_means). One lax.scan = one epoch on device."""
+    (params, opt_state, stats_means). One lax.scan = one epoch on device;
+    with a mesh, every scanned batch is constrained batch-sharded over the
+    'data' axis (params stay as placed: replicated or TP-sharded)."""
 
     burnin_steps = tc.burnin_epochs * steps_per_epoch
 
     def one_step(carry, idx):
         params, opt_state, step = carry
-        data, batch_idx, key0 = idx
+        x, key0 = idx
         key = jax.random.fold_in(key0, step)
         k_bin, k_model = jax.random.split(key)
-        x = jnp.take(data, batch_idx, axis=0)
         x = binarize_batch(k_bin, x, binarize)
 
         def scalar_loss(p):
@@ -112,13 +116,22 @@ def make_train_epoch(model_cfg: vae.VAEConfig, tc: TrainConfig, tx,
         return (params, opt_state, step + 1), stats
 
     def train_epoch(params, opt_state, data, perm, step0, key):
-        idxs = perm.reshape(steps_per_epoch, tc.batch_size)
+        # one shuffled epoch-gather up front (amortized, keeps the per-step
+        # body gather-free — on a mesh this is the only cross-device data
+        # movement; each scanned batch is already batch-sharded)
+        epoch_data = jnp.take(data, perm, axis=0).reshape(
+            (steps_per_epoch, tc.batch_size) + data.shape[1:])
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            epoch_data = jax.lax.with_sharding_constraint(
+                epoch_data, NamedSharding(
+                    mesh, P(None, "data") + (None,) * (data.ndim - 1)))
 
-        def body(carry, batch_idx):
-            return one_step(carry, (data, batch_idx, key))
+        def body(carry, batch):
+            return one_step(carry, (batch, key))
 
         (params, opt_state, step), stats_seq = jax.lax.scan(
-            body, (params, opt_state, step0), idxs)
+            body, (params, opt_state, step0), epoch_data)
         stats_means = jax.tree.map(lambda a: jnp.mean(a, axis=0), stats_seq)
         # curvature is a snapshot, not a mean-over-steps quantity
         stats_means["curvature"] = stats_seq["curvature"][-1]
@@ -163,18 +176,37 @@ class Trainer:
         key = jax.random.key(tc.seed)
         self.key, init_key = jax.random.split(key)
         self.params = vae.init_params(init_key, model_cfg, dtype=self.dtype)
+
+        # optional (data, model) mesh: DP batch sharding + TP weight sharding
+        self.mesh = None
+        if tc.mesh_shape is not None:
+            from ..parallel import make_mesh, shard_params
+            self.mesh = make_mesh(*tc.mesh_shape)
+            if tc.batch_size % tc.mesh_shape[0]:
+                raise ValueError("batch_size must divide the data-mesh axis")
+            self.params = shard_params(self.params, self.mesh)
+
         self.tx = make_optimizer(self.params, tc)
-        self.opt_state = self.tx.init(self.params)
+        self.opt_state = jax.jit(self.tx.init)(self.params)
         self.step = jnp.zeros((), jnp.int32)
 
         self._train_epoch = make_train_epoch(model_cfg, tc, self.tx,
                                              dataset.binarize,
-                                             self.steps_per_epoch)
+                                             self.steps_per_epoch, self.mesh)
         self._eval_elbo = make_eval_elbo(model_cfg, tc, dataset.binarize)
         self._eval_ll = make_eval_ll(model_cfg, tc, dataset.binarize)
 
-        self._train_data = jnp.asarray(dataset.train, self.dtype)
-        self._test_data = jnp.asarray(dataset.test, self.dtype)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            nd = len(dataset.data_shape)
+            sh = NamedSharding(self.mesh, P("data") + (None,) * nd)
+            self._train_data = jax.device_put(
+                jnp.asarray(dataset.train, self.dtype), sh)
+            self._test_data = jax.device_put(
+                jnp.asarray(dataset.test, self.dtype), sh)
+        else:
+            self._train_data = jnp.asarray(dataset.train, self.dtype)
+            self._test_data = jnp.asarray(dataset.test, self.dtype)
         self.component_names = [
             f"{c.name}#{i}" for i, c in enumerate(model_cfg.components)]
         self.history: list[dict] = []

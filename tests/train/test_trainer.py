@@ -119,6 +119,32 @@ class TestTrainer:
         assert len(metrics.splitlines()) >= 2
 
 
+class TestMeshTrainer:
+    def test_mesh_training_matches_loss_decrease(self, tmp_path):
+        """Full Trainer over a (2,2) mesh on the virtual CPU devices: DP+TP
+        sharded epochs train and improve the ELBO."""
+        tr = make_trainer(tmp_path, spec="h2,s2,e2", epochs=3,
+                          mesh_shape=(2, 2))
+        assert tr.mesh is not None and tr.mesh.shape == {"data": 2,
+                                                         "model": 2}
+        first = tr.train_one_epoch(0)
+        for e in range(1, 3):
+            last = tr.train_one_epoch(e)
+        assert last["elbo"] > first["elbo"] + 0.3
+        stats = tr.evaluate_elbo()
+        assert np.isfinite(stats["elbo"])
+
+    def test_mesh_matches_single_device_start(self, tmp_path):
+        """First-epoch stats on the mesh equal the single-device run to f32
+        tolerance (same seed, same math, different layout)."""
+        tr_a = make_trainer(tmp_path / "a", spec="h2,e2", epochs=1)
+        tr_b = make_trainer(tmp_path / "b", spec="h2,e2", epochs=1,
+                            mesh_shape=(4, 2))
+        sa = tr_a.train_one_epoch(0)
+        sb = tr_b.train_one_epoch(0)
+        np.testing.assert_allclose(sa["elbo"], sb["elbo"], rtol=2e-4)
+
+
 class TestCli:
     def test_cli_bdp_smoke(self, tmp_path, capsys):
         from mvae_tpu.cli import main

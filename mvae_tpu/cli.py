@@ -59,6 +59,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mesh", default=None,
                    help="device mesh 'DATA,MODEL' (e.g. '4,2'); default "
                         "single device")
+    p.add_argument("--debug_nans", action="store_true",
+                   help="fail fast on NaN/Inf under jit (slow; debugging)")
+    p.add_argument("--profile_epochs", type=int, default=0,
+                   help="capture a jax.profiler trace for the first N epochs")
     return p
 
 
@@ -95,11 +99,16 @@ def main(argv=None):
           f"({'synthetic stand-in' if dataset.synthetic else 'real data'}), "
           f"arch={arch}, dtype={args.dtype}, run_dir={run_dir}")
 
+    if args.debug_nans:
+        from .utils.profiling import enable_nan_guard
+        enable_nan_guard()
+
     trainer = Trainer(model_cfg, dataset, tc, run_dir)
     if args.resume:
         trainer.restore_checkpoint()
         print(f"resumed at step {int(trainer.step)}")
-    result = trainer.fit(ll_max_examples=args.ll_max_examples)
+    result = trainer.fit(ll_max_examples=args.ll_max_examples,
+                         profile_epochs=args.profile_epochs)
 
     summary = {k: v for k, v in result.items() if k != "history"}
     Path(run_dir).mkdir(parents=True, exist_ok=True)

@@ -249,10 +249,15 @@ class Trainer:
         return float(np.mean(np.concatenate(lls)))
 
     def fit(self, verbose: bool = True,
-            ll_max_examples: int | None = None) -> dict:
+            ll_max_examples: int | None = None,
+            profile_epochs: int = 0) -> dict:
         t0 = time.time()
         for epoch in range(self.tc.epochs):
+            if profile_epochs and epoch == 0:
+                jax.profiler.start_trace(f"{self.run_dir}/profile")
             train_stats = self.train_one_epoch(epoch)
+            if profile_epochs and epoch + 1 == profile_epochs:
+                jax.profiler.stop_trace()
             rec = {f"train/{k}": v for k, v in train_stats.items()}
             test_stats = self.evaluate_elbo("test")
             rec.update({f"test/{k}": v for k, v in test_stats.items()})

@@ -44,9 +44,21 @@ class ArrayDataset:
 
     def epoch_batches(self, epoch: int, batch_size: int,
                       split: str = "train") -> Iterator[np.ndarray]:
-        """Shuffled full batches (remainder dropped, static shapes for jit)."""
+        """Shuffled full batches (remainder dropped, static shapes for jit).
+
+        Uses the native host-data engine (permutation + fused gather) when
+        ``native/libmvae_host.so`` is built; numpy otherwise."""
+        from . import native
         data = self.train if split == "train" else self.test
-        rng = np.random.default_rng(hash((self.name, split, epoch)) % (2**32))
+        seed = hash((self.name, split, epoch)) % (2**32)
+        if native.available():
+            idx = native.permutation(seed, len(data))
+            n_full = len(data) // batch_size
+            for b in range(n_full):
+                yield native.gather_rows(
+                    data, idx[b * batch_size:(b + 1) * batch_size])
+            return
+        rng = np.random.default_rng(seed)
         idx = rng.permutation(len(data))
         n_full = len(data) // batch_size
         for b in range(n_full):

@@ -25,10 +25,13 @@ def sample(key, mu, sigma, shape=None):
 
 
 def log_prob(x, mu, sigma):
-    """Summed (over last axis) diagonal Gaussian log-density."""
+    """Summed (over last axis) diagonal Gaussian log-density (f32
+    accumulation under bf16 inputs)."""
     sigma = jnp.broadcast_to(sigma, x.shape)
     z = (x - mu) / sigma
-    return jnp.sum(-0.5 * (z * z + _LOG_2PI) - jnp.log(sigma), axis=-1)
+    acc = jnp.float32 if x.dtype == jnp.bfloat16 else x.dtype
+    return jnp.sum(-0.5 * (z * z + _LOG_2PI) - jnp.log(sigma), axis=-1,
+                   dtype=acc)
 
 
 def kl_diag(mu_q, sigma_q, mu_p, sigma_p):

@@ -100,7 +100,12 @@ def bernoulli_log_prob(logits, x):
 
 
 def _sum_data_axes(a, n_data_axes: int):
-    return jnp.sum(a, axis=tuple(range(a.ndim - n_data_axes, a.ndim)))
+    # accumulate pixel log-likelihood sums in f32: a 784-element bf16 sum
+    # quantizes to whole numbers (bf16 has ~8 mantissa bits), which is what
+    # an IWAE estimate cannot survive
+    acc = jnp.float32 if a.dtype == jnp.bfloat16 else a.dtype
+    return jnp.sum(a, axis=tuple(range(a.ndim - n_data_axes, a.ndim)),
+                   dtype=acc)
 
 
 class Forward:
@@ -211,9 +216,9 @@ def log_likelihood(key, cfg: VAEConfig, params, x, n_samples: int = 500,
         return jax.lax.map(one_sample, cks)  # (chunk, B)
 
     log_w = jax.lax.map(one_chunk, keys)  # (n_chunks, chunk, B)
-    log_w = log_w.reshape(n_samples, *log_w.shape[2:])
+    log_w = log_w.reshape(n_samples, *log_w.shape[2:]).astype(jnp.float32)
     return jax.scipy.special.logsumexp(log_w, axis=0) - jnp.log(
-        jnp.asarray(float(n_samples), log_w.dtype))
+        jnp.float32(n_samples))
 
 
 def generate(key, cfg: VAEConfig, params, n: int, dtype=jnp.float32):

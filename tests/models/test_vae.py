@@ -133,6 +133,38 @@ class TestIwae:
         assert np.all(np.isfinite(np.asarray(out)))
 
 
+class TestBf16:
+    def test_bf16_forward_and_iwae_precision(self):
+        """bf16 params/activations with f32 log-prob accumulation: the IWAE
+        estimate must be close to the f32 one, not quantized to whole
+        numbers (SURVEY.md §5 numerical-precision row)."""
+        cfg = make_cfg("h2,s2,e2", h_dim=32, data_shape=(20,))
+        p32 = init_params(jax.random.key(0), cfg, dtype=jnp.float32)
+        p16 = jax.tree.map(lambda a: a.astype(jnp.bfloat16), p32)
+        x = make_batch(jax.random.key(1), cfg, n=16)
+        ll32 = log_likelihood(jax.random.key(2), cfg, p32, x,
+                              n_samples=100, chunk_size=20)
+        ll16 = log_likelihood(jax.random.key(2), cfg, p16,
+                              x.astype(jnp.bfloat16), n_samples=100,
+                              chunk_size=20)
+        assert ll16.dtype == jnp.float32
+        # bf16 weights genuinely shift the model a little; the accumulation
+        # bug this guards against was off by whole integers
+        np.testing.assert_allclose(np.mean(np.asarray(ll16)),
+                                   np.mean(np.asarray(ll32)), rtol=0.05)
+        assert not np.allclose(np.asarray(ll16),
+                               np.round(np.asarray(ll16)))
+
+    def test_bf16_grads_finite(self):
+        cfg = make_cfg("e2,h2,s2,u2", h_dim=16)
+        params = init_params(jax.random.key(0), cfg, dtype=jnp.bfloat16)
+        x = make_batch(jax.random.key(1), cfg).astype(jnp.bfloat16)
+        g = jax.grad(lambda p: loss_fn(jax.random.key(2), cfg, p, x)[0])(
+            params)
+        for leaf in jax.tree.leaves(g):
+            assert np.all(np.isfinite(np.asarray(leaf, np.float32)))
+
+
 class TestTraining:
     def test_loss_decreases_smoke(self):
         """A few SGD steps on a tiny model must reduce the loss

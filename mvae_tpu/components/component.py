@@ -56,11 +56,17 @@ _VALID = {
 
 @dataclasses.dataclass(frozen=True)
 class Component:
-    """Static descriptor of one latent factor."""
+    """Static descriptor of one latent factor.
+
+    scalar_sigma: the reference's ``scalar_parametrization`` flag — one
+    shared (isotropic) posterior scale per component instead of a diagonal
+    one (vMF/Riemannian posteriors are scalar-concentration by nature).
+    """
 
     manifold: Manifold
     posterior: str
     fixed_curvature: bool = True
+    scalar_sigma: bool = False
 
     def __post_init__(self):
         if self.posterior not in POSTERIORS:
@@ -90,7 +96,7 @@ class Component:
         Linear -> tangent mu at mu0 (expmap'd), Linear -> softplus scale."""
         k_mu, k_sig = jax.random.split(key)
         scale = 1.0 / jnp.sqrt(jnp.asarray(feature_dim, dtype))
-        n_scale = 1 if self.posterior in ("vmf", "riemannian") else self.dim
+        n_scale = self.n_scale
         params = {
             "w_mu": (scale * jax.random.normal(
                 k_mu, (feature_dim, self.dim), dtype)),
@@ -114,7 +120,9 @@ class Component:
     @property
     def n_scale(self) -> int:
         """Width of the scale head (1 for scalar-concentration families)."""
-        return 1 if self.posterior in ("vmf", "riemannian") else self.dim
+        if self.posterior in ("vmf", "riemannian") or self.scalar_sigma:
+            return 1
+        return self.dim
 
     @property
     def head_width(self) -> int:

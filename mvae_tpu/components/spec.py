@@ -26,8 +26,8 @@ _FACTOR_RE = re.compile(
     r"^(?P<mult>\d+)?(?P<kind>[ehdspu])(?P<dim>\d+)(?::(?P<post>[a-z]+))?$")
 
 
-def parse_components(spec: str, fixed_curvature: bool = True
-                     ) -> tuple[Component, ...]:
+def parse_components(spec: str, fixed_curvature: bool = True,
+                     scalar_sigma: bool = False) -> tuple[Component, ...]:
     """Parse a latent spec string into a tuple of Components."""
     spec = spec.strip().lower()
     if not spec:
@@ -48,7 +48,8 @@ def parse_components(spec: str, fixed_curvature: bool = True
             raise ValueError(f"multiplier must be >= 1 in {factor!r}")
         for _ in range(mult):
             comps.append(Component(Manifold(kind, dim), posterior,
-                                   fixed_curvature=fixed_curvature))
+                                   fixed_curvature=fixed_curvature,
+                                   scalar_sigma=scalar_sigma))
     return tuple(comps)
 
 

@@ -37,6 +37,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="latent spec, e.g. 'h2,s2,e2', '2h2', 'u6', "
                         "'s6:wrapped', 'd6:riemannian'")
     p.add_argument("--fixed_curvature", type=_str2bool, default=True)
+    p.add_argument("--scalar_sigma", type=_str2bool, default=False,
+                   help="isotropic posterior scale per component (the "
+                        "reference's scalar_parametrization)")
     p.add_argument("--epochs", type=int, default=100)
     p.add_argument("--batch_size", type=int, default=128)
     p.add_argument("--h_dim", type=int, default=400)
@@ -75,7 +78,8 @@ def main(argv=None):
     from .train import TrainConfig, Trainer
 
     components = parse_components(args.model,
-                                  fixed_curvature=args.fixed_curvature)
+                                  fixed_curvature=args.fixed_curvature,
+                                  scalar_sigma=args.scalar_sigma)
     dataset = load_dataset(args.dataset)
     arch = args.arch or ("conv" if args.dataset == "cifar" else "mlp")
     model_cfg = VAEConfig(components=components,

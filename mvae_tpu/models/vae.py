@@ -197,23 +197,22 @@ def log_likelihood(key, cfg: VAEConfig, params, x, n_samples: int = 500,
 
     log p(x) ~= logsumexp_i [log p(x|z_i) + log p(z_i) - log q(z_i|x)] - log n
 
-    Importance samples are drawn in ``lax.map`` chunks of ``chunk_size`` so
-    device memory stays bounded at chunk x batch x data; the log-weights
-    (n, B) stay resident (tiny) and one logsumexp finishes the job.
+    Importance samples run as an outer sequential ``lax.map`` over chunks
+    (bounds peak memory at chunk x batch x data) of an inner ``vmap`` over
+    ``chunk_size`` samples (keeps the device saturated); the log-weights
+    (n, B) stay resident (tiny) and one f32 logsumexp finishes the job.
     """
     assert n_samples % chunk_size == 0, "n_samples must divide into chunks"
     n_chunks = n_samples // chunk_size
     keys = jax.random.split(key, n_chunks)
     feats = encode(cfg, params, x)  # encode ONCE for all importance samples
 
+    def one_sample(sk):
+        fwd = forward_from_features(sk, cfg, params, x, feats)
+        return fwd.log_px_z + fwd.log_p - fwd.log_q
+
     def one_chunk(ck):
-        cks = jax.random.split(ck, chunk_size)
-
-        def one_sample(sk):
-            fwd = forward_from_features(sk, cfg, params, x, feats)
-            return fwd.log_px_z + fwd.log_p - fwd.log_q
-
-        return jax.lax.map(one_sample, cks)  # (chunk, B)
+        return jax.vmap(one_sample)(jax.random.split(ck, chunk_size))
 
     log_w = jax.lax.map(one_chunk, keys)  # (n_chunks, chunk, B)
     log_w = log_w.reshape(n_samples, *log_w.shape[2:]).astype(jnp.float32)

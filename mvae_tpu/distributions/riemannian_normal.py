@@ -28,10 +28,11 @@ manifold descriptor's distance / mu0-frame ops.
 from __future__ import annotations
 
 import math
+from functools import partial
 
 import jax
 import jax.numpy as jnp
-from jax.scipy.special import erf, gammaln
+from jax.scipy.special import gammaln
 
 from ..ops import stable
 from ..utils.special import erfcx
@@ -191,9 +192,6 @@ def _sample_radius_raw(key, n: int, sigma, k):
         cond, body, (jnp.zeros((), jnp.int32), key,
                      sigma.copy(), jnp.zeros(shape, bool)))
     return jnp.maximum(r, 1e-30)
-
-
-from functools import partial
 
 
 @partial(jax.custom_jvp, nondiff_argnums=(0, 1))

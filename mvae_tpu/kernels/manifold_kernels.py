@@ -28,7 +28,6 @@ fuses them well), via jax.custom_vjp.
 """
 from __future__ import annotations
 
-import functools
 import os
 
 import jax

@@ -17,7 +17,6 @@ reads+writes (inputs at n = 128 lanes => no tile padding inflation).
 """
 from __future__ import annotations
 
-import functools
 import json
 import sys
 import time

@@ -157,8 +157,8 @@ def forward_from_features(key, cfg: VAEConfig, params, x, feats) -> Forward:
         curvs.append(comp.curvature(cp))
     z = jnp.concatenate(zs, axis=-1)
     logits = decode(cfg, params, z)
-    ll = x * logits - jax.nn.softplus(logits)
-    log_px_z = _sum_data_axes(ll, len(cfg.data_shape))
+    log_px_z = _sum_data_axes(bernoulli_log_prob(logits, x),
+                              len(cfg.data_shape))
     return Forward(z, log_px_z,
                    sum(log_qs), sum(log_ps),
                    jnp.stack(kls, axis=-1), jnp.stack(curvs))

@@ -265,9 +265,6 @@ class Trainer:
             self.logger.log(int(self.step), rec)
             self.history.append(rec)
             if verbose:
-                es_line = EpochStats(self.component_names)
-                es_line.update({k: v for k, v in train_stats.items()
-                                if "/" not in k})
                 print(f"epoch {epoch + 1}/{self.tc.epochs} "
                       f"train[{_fmt(train_stats)}] test[{_fmt(test_stats)}]")
             if (self.tc.checkpoint_every

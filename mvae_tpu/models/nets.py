@@ -25,8 +25,29 @@ def _linear_init(key, in_dim: int, out_dim: int, dtype):
     }
 
 
+import os
+
+# Mixed-precision compute: bf16 operands into the MXU with f32 accumulation
+# and f32 master weights/outputs. Opt-in (MVAE_BF16_MATMUL=1 or the CLI's
+# --compute_dtype bfloat16): exact f32 GEMMs stay the default so results
+# reproduce bit-for-bit across rounds.
+_BF16_MATMUL = os.environ.get("MVAE_BF16_MATMUL", "0") == "1"
+
+
+def set_bf16_matmul(enabled: bool):
+    global _BF16_MATMUL
+    _BF16_MATMUL = enabled
+
+
 def _linear(params, x):
-    return x @ params["w"] + params["b"]
+    w = params["w"]
+    if _BF16_MATMUL and x.dtype == jnp.float32:
+        y = jax.lax.dot_general(
+            x.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+            dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return y + params["b"]
+    return x @ w + params["b"]
 
 
 def _conv_init(key, h, w, cin, cout, dtype):

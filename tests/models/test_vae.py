@@ -188,3 +188,20 @@ class TestTraining:
             params, opt_state, l = step(params, opt_state, jax.random.key(i))
             losses.append(float(l))
         assert np.mean(losses[-10:]) < np.mean(losses[:10]) - 0.5
+
+
+class TestBf16MatmulFlag:
+    def test_flag_switches_gemm_precision(self):
+        from mvae_tpu.models import nets
+        p = {"w": jnp.ones((4, 3)), "b": jnp.zeros(3)}
+        x = jnp.full((2, 4), 1.0 / 3.0, jnp.float32)
+        try:
+            nets.set_bf16_matmul(True)
+            lo = nets._linear(p, x)
+            nets.set_bf16_matmul(False)
+            hi = nets._linear(p, x)
+        finally:
+            nets.set_bf16_matmul(False)
+        assert lo.dtype == jnp.float32  # f32 accumulate/output either way
+        np.testing.assert_allclose(np.asarray(hi), 4.0 / 3.0, rtol=1e-7)
+        assert abs(float(lo[0, 0]) - 4.0 / 3.0) > 1e-4  # bf16-rounded operands

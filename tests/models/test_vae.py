@@ -193,7 +193,8 @@ class TestTraining:
 class TestBf16MatmulFlag:
     def test_flag_switches_gemm_precision(self):
         from mvae_tpu.models import nets
-        p = {"w": jnp.ones((4, 3)), "b": jnp.zeros(3)}
+        p = {"w": jnp.ones((4, 3), jnp.float32),
+             "b": jnp.zeros(3, jnp.float32)}
         x = jnp.full((2, 4), 1.0 / 3.0, jnp.float32)
         try:
             nets.set_bf16_matmul(True)

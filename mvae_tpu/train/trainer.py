@@ -237,16 +237,26 @@ class Trainer:
 
     def evaluate_log_likelihood(self, split: str = "test",
                                 max_examples: int | None = None) -> float:
+        """Mean IWAE LL over the FULL split: the tail batch is padded up to
+        the batch shape (one compiled shape) and masked out of the mean —
+        no silently dropped examples in the headline metric."""
         data = self._test_data if split == "test" else self._train_data
         if max_examples:
             data = data[:max_examples]
         bs = min(self.tc.eval_batch_size, len(data))
-        lls = []
-        for b in range(0, len(data) - bs + 1, bs):
+        total, count = 0.0, 0
+        for b in range(0, len(data), bs):
+            batch = data[b:b + bs]
+            n_valid = batch.shape[0]
+            if n_valid < bs:  # pad the tail to the compiled batch shape
+                pad = jnp.broadcast_to(batch[:1],
+                                       (bs - n_valid,) + batch.shape[1:])
+                batch = jnp.concatenate([batch, pad])
             self.key, k = jax.random.split(self.key)
-            ll = self._eval_ll(self.params, data[b:b + bs], k)
-            lls.append(np.asarray(ll))
-        return float(np.mean(np.concatenate(lls)))
+            ll = np.asarray(self._eval_ll(self.params, batch, k))
+            total += float(ll[:n_valid].sum())
+            count += n_valid
+        return total / max(count, 1)
 
     def fit(self, verbose: bool = True,
             ll_max_examples: int | None = None,

@@ -56,6 +56,9 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["float32", "bfloat16"])
     p.add_argument("--run_dir", default=None)
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--eval_only", action="store_true",
+                   help="restore the latest checkpoint and only compute the "
+                        "IWAE marginal LL (no training)")
     p.add_argument("--checkpoint_every", type=int, default=0)
     p.add_argument("--ll_max_examples", type=int, default=None,
                    help="cap IWAE eval set size (speed)")
@@ -108,6 +111,14 @@ def main(argv=None):
         enable_nan_guard()
 
     trainer = Trainer(model_cfg, dataset, tc, run_dir)
+    if args.eval_only:
+        trainer.restore_checkpoint()
+        ll = trainer.evaluate_log_likelihood(
+            max_examples=args.ll_max_examples)
+        result = {f"test/log_likelihood_iwae": ll,
+                  "step": int(trainer.step), "eval_only": True}
+        print(json.dumps(result))
+        return result
     if args.resume:
         trainer.restore_checkpoint()
         print(f"resumed at step {int(trainer.step)}")

@@ -156,6 +156,19 @@ class TestCli:
         assert np.isfinite(result["test/log_likelihood_iwae"])
         assert (tmp_path / "cli_run" / "result.json").exists()
 
+    def test_cli_eval_only(self, tmp_path):
+        from mvae_tpu.cli import main
+        run_dir = str(tmp_path / "eo_run")
+        main(["--dataset", "bdp", "--model", "e2", "--epochs", "1",
+              "--batch_size", "32", "--h_dim", "16", "--likelihood_n", "20",
+              "--run_dir", run_dir])
+        result = main(["--dataset", "bdp", "--model", "e2",
+                       "--batch_size", "32", "--h_dim", "16",
+                       "--likelihood_n", "20", "--eval_only",
+                       "--ll_max_examples", "64", "--run_dir", run_dir])
+        assert result["eval_only"] and result["step"] > 0
+        assert np.isfinite(result["test/log_likelihood_iwae"])
+
     def test_cli_bad_spec(self):
         from mvae_tpu.cli import main
         with pytest.raises(ValueError):

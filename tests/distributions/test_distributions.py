@@ -144,7 +144,8 @@ class TestHypersphericalUniform:
 
 class TestVonMisesFisher:
     @pytest.mark.parametrize("m,kappa", [(3, 0.5), (3, 5.0), (3, 80.0),
-                                         (5, 2.0), (7, 10.0), (2, 4.0)])
+                                         (4, 3.0), (5, 2.0), (6, 6.0),
+                                         (7, 10.0), (2, 4.0)])
     def test_mean_resultant_length(self, m, kappa):
         """Empirical E[<mu_hat, z_hat>] must equal A_m(kappa) — a sharp
         functional test of the Wood sampler."""
@@ -221,6 +222,30 @@ class TestVonMisesFisher:
                   - sps.ive(m / 2, kappa - h) / sps.ive(m / 2 - 1, kappa - h)
                   ) / (2 * h)
         np.testing.assert_allclose(float(g[0]), oracle, rtol=0.1)
+
+
+class TestWrappedNormalWrapTruncation:
+    def test_wrap_count_convergence_on_sphere(self):
+        """At moderate sigma one extra wrap is already converged; at large
+        sigma adding wraps changes log_prob (documents the truncation knob)."""
+        man = Manifold("s", 3)
+        k = F64(1.0)
+        mu = jnp.broadcast_to(man.exp_map_mu0(
+            jnp.asarray([0.2, -0.1, 0.3], F64), k), (256, 4))
+        z, _ = wrapped_normal.sample_and_log_prob(key(20), man, mu,
+                                                  jnp.asarray(0.8, F64), k)
+        lp1 = wrapped_normal.log_prob(man, z, mu, jnp.asarray(0.8, F64), k,
+                                      wraps=1)
+        lp2 = wrapped_normal.log_prob(man, z, mu, jnp.asarray(0.8, F64), k,
+                                      wraps=3)
+        np.testing.assert_allclose(np.asarray(lp1), np.asarray(lp2),
+                                   atol=1e-6)
+        # at sigma = 3 the extra images carry real mass
+        lp1_big = wrapped_normal.log_prob(man, z, mu, jnp.asarray(3.0, F64),
+                                          k, wraps=1)
+        lp3_big = wrapped_normal.log_prob(man, z, mu, jnp.asarray(3.0, F64),
+                                          k, wraps=3)
+        assert float(jnp.max(jnp.abs(lp3_big - lp1_big))) > 1e-3
 
 
 class TestRiemannianNormal:

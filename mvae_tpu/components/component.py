@@ -17,7 +17,13 @@ Posterior families:
   'wrapped'    WrappedNormal(mu, sigma), prior WrappedNormal(mu0, 1)
   'normal'     Euclidean diagonal normal, prior N(0, I), analytic KL
   'vmf'        von Mises-Fisher(mu, kappa), prior HypersphericalUniform,
-               analytic KL (s/p kinds; density on the radius-R sphere)
+               analytic KL. On 's' the density lives on the radius-R
+               sphere directly; on 'p' (the reference's
+               ProjectedSphericalVmfProcedure [LOW CONF]) the vMF is
+               sampled on the embedded S^n and pushed through the
+               stereographic isometry — densities w.r.t. the Riemannian
+               measure are isometry-invariant, so log q / log p / KL are
+               evaluated in sphere coordinates with m = dim + 1.
   'riemannian' RiemannianNormal(mu, sigma), prior RiemannianNormal(mu0, 1)
                (h/d kinds)
 """
@@ -194,10 +200,25 @@ def reparametrize(key, comp: Component, params, features,
         return Reparametrized(z, log_q, log_p, kl)
 
     if comp.posterior == "vmf":
-        z = von_mises_fisher.sample(key, mu, scale, k)
-        log_q = von_mises_fisher.log_prob(z, mu, scale, k)
-        log_p = hyperspherical_uniform.log_prob(z, k)
-        kl = von_mises_fisher.kl_to_uniform(man.ambient_dim, scale)
+        if man.kind == "p":
+            # vMF on the projected sphere P^n: sample on the EMBEDDED S^n
+            # and push through the stereographic isometry. Projected
+            # coordinates are not norm-constrained (P^n's mu0 is the zero
+            # vector), so running the vMF machinery in them would pin |z|
+            # and collapse the posterior to an S^{n-1} slice — the round-1
+            # bug. Densities w.r.t. the Riemannian measure are invariant
+            # under the isometry, so log q / log p are evaluated at the
+            # sphere pre-images with ambient m = dim + 1.
+            from ..ops import sphere as _sphere
+            mu_s = _sphere.projected_to_sphere(mu, k)
+            z_s = von_mises_fisher.sample(key, mu_s, scale, k)
+            z = _sphere.sphere_to_projected(z_s, k)
+        else:
+            mu_s = mu
+            z_s = z = von_mises_fisher.sample(key, mu, scale, k)
+        log_q = von_mises_fisher.log_prob(z_s, mu_s, scale, k)
+        log_p = hyperspherical_uniform.log_prob(z_s, k)
+        kl = von_mises_fisher.kl_to_uniform(comp.dim + 1, scale)
         return Reparametrized(z, log_q, log_p, kl)
 
     if comp.posterior == "riemannian":
@@ -219,8 +240,15 @@ def sample_prior(key, comp: Component, params, shape, dtype=jnp.float32):
     if comp.posterior == "normal":
         return jax.random.normal(key, shape + (comp.dim,), dtype)
     if comp.posterior == "vmf":
-        return hyperspherical_uniform.sample(key, shape, man.ambient_dim, k,
-                                             dtype)
+        # uniform prior on the sphere; for 'p' push it through the
+        # stereographic isometry (the uniform measure maps to the
+        # Riemannian-uniform measure on P^n)
+        z_s = hyperspherical_uniform.sample(key, shape, comp.dim + 1, k,
+                                            dtype)
+        if man.kind == "p":
+            from ..ops import sphere as _sphere
+            return _sphere.sphere_to_projected(z_s, k)
+        return z_s
     if comp.posterior == "riemannian":
         mu0 = jnp.broadcast_to(man.mu0(k, dtype), shape + (man.ambient_dim,))
         return riemannian_normal.sample(key, man, mu0,

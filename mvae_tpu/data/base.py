@@ -48,9 +48,12 @@ class ArrayDataset:
 
         Uses the native host-data engine (permutation + fused gather) when
         ``native/libmvae_host.so`` is built; numpy otherwise."""
+        import zlib
+
         from . import native
         data = self.train if split == "train" else self.test
-        seed = hash((self.name, split, epoch)) % (2**32)
+        # stable across processes (str hash() is per-process randomized)
+        seed = zlib.crc32(f"{self.name}/{split}/{epoch}".encode())
         if native.available():
             idx = native.permutation(seed, len(data))
             n_full = len(data) // batch_size

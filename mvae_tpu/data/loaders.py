@@ -25,6 +25,7 @@ import os
 import pickle
 import sys
 import warnings
+import zlib
 from pathlib import Path
 
 import numpy as np
@@ -80,7 +81,9 @@ def _synthetic_images(name: str, n_train: int, n_test: int, hw: int,
                       channels: int, n_classes: int = 10) -> tuple:
     """Procedural class-template images: seeded smooth blobs + noise,
     squashed to [0, 1]. Deterministic across runs."""
-    rng = np.random.default_rng(abs(hash(name)) % (2**32))
+    # zlib.crc32, not hash(): str hashing is randomized per process, which
+    # would make the "deterministic" stand-ins differ run to run
+    rng = np.random.default_rng(zlib.crc32(name.encode()))
     yy, xx = np.mgrid[0:hw, 0:hw].astype(np.float64) / hw
 
     templates = []

@@ -41,10 +41,15 @@ import jax.numpy as jnp
 from ..ops import stable
 from . import normal
 
-# pseudo-infinite geodesic period for K <= 0: large enough that wrap-branch
-# Gaussian mass is exactly 0, small enough that its square stays finite in f32
-# (no inf arithmetic => no NaN gradients through the dead branches)
-_BIG_PERIOD = 1e15
+# Wrap-branch hygiene: a wrap image's z-score (rb / sigma) must stay far
+# from f32/bf16 overflow even after squaring and summing over dims, or the
+# 0-weight logsumexp gradient turns into 0 * inf = NaN. Branches beyond the
+# cap carry ~exp(-(rb/sigma)^2/2) ~ 0 mass, so masking them is exact.
+_ZSCORE_CAP = 1e15
+# curvature floor inside the period: keeps d(period)/dK finite (K^-3/2
+# overflows f32 below ~5e-26); branches at the floored period are masked by
+# the z-score cap anyway
+_K_FLOOR = 1e-20
 
 
 def _log_abs_sindiv_k(r, k):
@@ -86,22 +91,38 @@ def _log_prob_from_principal(man, v, sigma, k, wraps: int):
     r = stable.safe_norm(v, keepdims=True)
     v_hat = v / r
 
-    # geodesic period T = 2 pi / sqrt(K) for K > 0; effectively infinite else
-    period = jnp.where(k > 0,
-                       2.0 * math.pi / jnp.sqrt(jnp.maximum(k, 1e-30)),
-                       _BIG_PERIOD).astype(dtype)
+    # geodesic period T = 2 pi / sqrt(K); only meaningful where K > 0
+    period = (2.0 * math.pi
+              / jnp.sqrt(jnp.maximum(k, _K_FLOOR))).astype(dtype)
+    # smallest sigma across dims bounds the largest per-dim z-score
+    sig_min = jnp.min(jnp.broadcast_to(sigma, v.shape), axis=-1,
+                      keepdims=True)
 
-    branches = []
+    branches = [r]                                # principal, always live
     for m in range(wraps + 1):
-        branches.append(r + m * period)           # +v_hat direction
+        if m > 0:
+            branches.append(r + m * period)       # +v_hat direction
         branches.append(-((m + 1) * period - r))  # -v_hat direction (signed)
     logps = []
-    for rb in branches:
+    for i, rb_raw in enumerate(branches):
+        if i == 0:
+            rb, live = rb_raw, None
+        else:
+            # wrap images are dead for K <= 0 (universal mid-crossing) and
+            # for K > 0 so small that (rb/sigma)^2 would overflow; evaluate
+            # dead branches at the PRINCIPAL radius (finite, moderate — the
+            # sanitized-where trick) and mask them out of the logsumexp
+            live = (k > 0) & (jnp.abs(rb_raw) < _ZSCORE_CAP * sig_min)
+            rb = jnp.where(live, rb_raw, r)
         vb = rb * v_hat
         rb_abs = jnp.abs(rb).squeeze(-1)
         logn = normal.log_prob(vb, zero, sigma)
         logdet = (n - 1) * _log_abs_sindiv_k(rb_abs, k)
-        logps.append(logn - logdet)
+        logp = logn - logdet
+        if live is not None:
+            logp = jnp.where(live.squeeze(-1), logp,
+                             jnp.asarray(-1e30, logp.dtype))
+        logps.append(logp)
     out = jax.scipy.special.logsumexp(jnp.stack(logps, axis=-1), axis=-1)
     return out
 

@@ -143,9 +143,14 @@ def inverse_sample_projection_mu0(z, mu, k):
 
 
 def sphere_to_projected(x, k):
-    """S^n_K ambient -> stereographic coords (projection from -mu0)."""
+    """S^n_K ambient -> stereographic coords (projection from -mu0).
+
+    The projection point -mu0 itself maps to infinity; guard the
+    denominator so a (measure-zero) antipodal input yields a huge finite
+    coordinate instead of inf/NaN under AD."""
     kk = _kk(k)
-    return x[..., 1:] / (1.0 + jnp.sqrt(kk) * x[..., :1])
+    den = 1.0 + jnp.sqrt(kk) * x[..., :1]
+    return x[..., 1:] / jnp.maximum(den, stable.eps(x.dtype))
 
 
 def projected_to_sphere(p, k):

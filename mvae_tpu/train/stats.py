@@ -18,10 +18,12 @@ class EpochStats:
         self._sums: dict = {}
         self._count = 0
 
-    def update(self, stats: dict):
-        self._count += 1
+    def update(self, stats: dict, weight: float = 1.0):
+        """Accumulate one batch's means with ``weight`` (= its real example
+        count when batches are unevenly sized, e.g. a padded+masked tail)."""
+        self._count += weight
         for k, v in stats.items():
-            v = np.asarray(v)
+            v = weight * np.asarray(v)
             if k in self._sums:
                 self._sums[k] = self._sums[k] + v
             else:

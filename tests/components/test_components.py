@@ -49,7 +49,7 @@ class TestSpecParser:
         assert total_ambient_dim(comps) == 2 + 3 + 2 + 3 + 2 + 2
 
 
-ALL_SPECS = ["e3", "h3", "d3", "s3", "s3:wrapped", "p3", "u3",
+ALL_SPECS = ["e3", "h3", "d3", "s3", "s3:wrapped", "p3", "p3:vmf", "u3",
              "d3:riemannian"]
 
 
@@ -112,7 +112,7 @@ class TestReparametrize:
 class TestAnalyticVsMcKl:
     """Where analytic KL exists it must agree with the MC estimate."""
 
-    @pytest.mark.parametrize("spec", ["e3", "s3"])
+    @pytest.mark.parametrize("spec", ["e3", "s3", "p3:vmf"])
     def test_agreement(self, spec):
         (comp,) = parse_components(spec)
         params = comp.init_params(jax.random.key(0), 8, dtype=F64)
@@ -132,6 +132,88 @@ class TestSamplePrior:
         z = sample_prior(jax.random.key(1), comp, params, (32,), F64)
         assert z.shape == (32, comp.ambient_dim)
         assert np.all(np.isfinite(np.asarray(z)))
+
+
+class TestProjectedVmf:
+    """Regression (ADVICE r1 / VERDICT r1 missing #3): 'p*:vmf' must be a
+    true distribution on the n-dim projected sphere — vMF on the embedded
+    S^n pushed through the stereographic isometry — not a norm-pinned vMF
+    in the coordinate space."""
+
+    FEAT = 8
+
+    def _setup(self, n=4096):
+        (comp,) = parse_components("p3:vmf")
+        params = comp.init_params(jax.random.key(0), self.FEAT, dtype=F64)
+        feats = 0.3 * jax.random.normal(jax.random.key(1),
+                                        (n, self.FEAT), F64)
+        return comp, params, feats
+
+    def test_samples_not_norm_pinned(self):
+        """Round-1 bug signature: std of |z| was ~1e-7 (an S^{n-1} slice)."""
+        comp, params, feats = self._setup()
+        rep = reparametrize(jax.random.key(2), comp, params, feats)
+        norms = np.linalg.norm(np.asarray(rep.z), axis=-1)
+        assert norms.std() > 1e-2, norms.std()
+
+    def test_samples_map_to_sphere(self):
+        """Pre-images under the isometry must lie exactly on S^n_K."""
+        from mvae_tpu.ops import sphere
+        comp, params, feats = self._setup()
+        k = comp.curvature(params)
+        rep = reparametrize(jax.random.key(3), comp, params, feats)
+        z_s = sphere.projected_to_sphere(rep.z, k)
+        np.testing.assert_allclose(np.sum(np.asarray(z_s) ** 2, -1),
+                                   1.0 / float(k), rtol=1e-10)
+
+    def test_isometry_equivalence_with_s_kind(self):
+        """With identical head params, curvature, and PRNG key, the p:vmf
+        component is the EXACT pushforward of the s:vmf component: equal
+        log_q / log_p / kl, and z_p = sphere_to_projected(z_s)."""
+        from mvae_tpu.ops import sphere
+        (comp_s,) = parse_components("s3")       # vMF is s default
+        (comp_p,) = parse_components("p3:vmf")
+        params = comp_s.init_params(jax.random.key(0), self.FEAT, dtype=F64)
+        feats = 0.3 * jax.random.normal(jax.random.key(1),
+                                        (256, self.FEAT), F64)
+        rep_s = reparametrize(jax.random.key(2), comp_s, params, feats)
+        rep_p = reparametrize(jax.random.key(2), comp_p, params, feats)
+        k = comp_s.curvature(params)
+        np.testing.assert_allclose(np.asarray(rep_p.log_q),
+                                   np.asarray(rep_s.log_q), rtol=1e-10)
+        np.testing.assert_allclose(np.asarray(rep_p.log_p),
+                                   np.asarray(rep_s.log_p), rtol=1e-10)
+        np.testing.assert_allclose(np.asarray(rep_p.kl),
+                                   np.asarray(rep_s.kl), rtol=1e-10)
+        np.testing.assert_allclose(
+            np.asarray(rep_p.z),
+            np.asarray(sphere.sphere_to_projected(rep_s.z, k)), atol=1e-10)
+
+    def test_prior_normalization_importance_sampling(self):
+        """E_{z~uniform}[q(z)/p(z)] = 1 on P^n: the pushforward density is
+        a true density w.r.t. the projected-sphere Riemannian measure."""
+        from mvae_tpu.ops import sphere
+        from mvae_tpu.distributions import (hyperspherical_uniform,
+                                            von_mises_fisher)
+        comp, params, _ = self._setup()
+        k = comp.curvature(params)
+        n = 200_000
+        z_s = hyperspherical_uniform.sample(jax.random.key(5), (n,), 4, k,
+                                            dtype=F64)
+        mu_s = sphere.projected_to_sphere(
+            jnp.asarray([0.2, -0.1, 0.3], F64), k)
+        logq = von_mises_fisher.log_prob(z_s, mu_s, F64(3.0), k)
+        logp = hyperspherical_uniform.log_prob(z_s, k)
+        est = jax.scipy.special.logsumexp(logq - logp) - np.log(n)
+        np.testing.assert_allclose(np.exp(est), 1.0, rtol=0.05)
+
+    def test_prior_samples_cover_plane(self):
+        (comp,) = parse_components("p3:vmf")
+        params = comp.init_params(jax.random.key(0), self.FEAT, dtype=F64)
+        z = sample_prior(jax.random.key(1), comp, params, (4096,), F64)
+        norms = np.linalg.norm(np.asarray(z), axis=-1)
+        assert z.shape == (4096, 3)
+        assert norms.std() > 0.1  # uniform pushforward spreads radially
 
 
 class TestComponentValidation:

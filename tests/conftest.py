@@ -12,6 +12,7 @@ interpreter start, so env vars alone are too late — we reconfigure jax and
 clear already-initialized backends instead.
 """
 import jax
+import pytest
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
@@ -20,3 +21,19 @@ from jax.extend import backend as _jex_backend
 
 _jex_backend.clear_backends()
 jax.config.update("jax_enable_x64", True)
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--slow", action="store_true", default=False,
+        help="also run @pytest.mark.slow tests (the full profile; the "
+             "default fast profile keeps the suite CI-sized)")
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--slow"):
+        return
+    skip = pytest.mark.skip(reason="slow test: pass --slow to run")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

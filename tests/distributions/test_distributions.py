@@ -248,6 +248,44 @@ class TestWrappedNormalWrapTruncation:
         assert float(jnp.max(jnp.abs(lp3_big - lp1_big))) > 1e-3
 
 
+class TestWrappedNormalDeadBranchSafety:
+    """Regression (ADVICE r1): on the universal manifold with K <= 0 the
+    wrap branches are dead; with a large-but-finite stand-in period their
+    (rb/sigma)^2 overflowed f32 once sigma < ~2e-4 and the 0-weight
+    logsumexp gradient became 0 * inf = NaN. Branches must be masked, not
+    merely far away."""
+
+    @pytest.mark.parametrize("k_val", [-1.0, -1e-8, 0.0, 1e-30, 1e-12])
+    def test_grads_finite_at_tiny_sigma_f32(self, k_val):
+        man = Manifold("u", 3)
+        f32 = jnp.float32
+
+        def loss(sigma, k, v_coord):
+            mu = man.exp_map_mu0(jnp.asarray([0.05, -0.02, 0.04], f32), k)
+            mu = jnp.broadcast_to(mu, (4, 3))
+            z = man.sample_projection_mu0(v_coord, mu, k)
+            return jnp.sum(wrapped_normal.log_prob(man, z, mu, sigma, k))
+
+        v = 1e-5 * jnp.asarray(np.random.default_rng(0).normal(
+            size=(4, 3)), f32)
+        grads = jax.grad(loss, argnums=(0, 1, 2))(
+            jnp.asarray(1e-5, f32), jnp.asarray(k_val, f32), v)
+        for g in grads:
+            assert np.all(np.isfinite(np.asarray(g))), (k_val, g)
+
+    def test_positive_k_values_unchanged(self):
+        """The masking must not perturb live-branch densities (K=1)."""
+        man = Manifold("s", 3)
+        k = F64(1.0)
+        mu = jnp.broadcast_to(man.exp_map_mu0(
+            jnp.asarray([0.2, -0.1, 0.3], F64), k), (64, 4))
+        sig = jnp.asarray(0.8, F64)
+        z, lq = wrapped_normal.sample_and_log_prob(key(21), man, mu, sig, k)
+        # against an independent recomputation through log_prob
+        np.testing.assert_allclose(np.asarray(lq), np.asarray(
+            wrapped_normal.log_prob(man, z, mu, sig, k)), rtol=1e-10)
+
+
 class TestRiemannianNormal:
     @pytest.mark.parametrize("n,sigma,c", [(2, 0.5, 1.0), (3, 1.0, 1.0),
                                            (6, 0.7, 0.5), (2, 2.0, 2.0),

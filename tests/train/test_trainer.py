@@ -98,6 +98,32 @@ class TestTrainer:
             tr.params["components"][0]))
         assert k0 == k1
 
+    def test_eval_elbo_includes_tail(self, tmp_path):
+        """Regression (VERDICT r1 weak #4): evaluate_elbo must not drop the
+        tail batch. Test split 100 with eval_batch_size 64 -> 36-example
+        padded tail; perturbing ONLY the tail must change the result."""
+        rng = np.random.default_rng(3)
+        train = rng.random((128, 20)).astype(np.float32)
+        test = rng.random((100, 20)).astype(np.float32)
+        ds = ArrayDataset("tiny", train, test, (20,), binarize=False)
+        cfg = VAEConfig(components=parse_components("e2"),
+                        data_shape=(20,), arch="mlp", h_dim=16)
+        tc = TrainConfig(epochs=1, batch_size=64, eval_batch_size=64,
+                         burnin_epochs=0)
+        tr = Trainer(cfg, ds, tc, run_dir=str(tmp_path / "run"))
+
+        key0 = tr.key
+        s1 = tr.evaluate_elbo()
+        tr.key = key0
+        s1b = tr.evaluate_elbo()
+        assert s1["elbo"] == s1b["elbo"]  # deterministic given the key
+        # flip the tail only (rows 64:100)
+        tr._test_data = tr._test_data.at[64:].set(
+            1.0 - tr._test_data[64:])
+        tr.key = key0
+        s2 = tr.evaluate_elbo()
+        assert abs(s1["elbo"] - s2["elbo"]) > 1e-4
+
     def test_checkpoint_resume(self, tmp_path):
         tr = make_trainer(tmp_path, epochs=2)
         tr.train_one_epoch(0)

@@ -40,6 +40,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--scalar_sigma", type=_str2bool, default=False,
                    help="isotropic posterior scale per component (the "
                         "reference's scalar_parametrization)")
+    p.add_argument("--wraps", type=int, default=1,
+                   help="wrap-image pairs in wrapped-normal densities on "
+                        "positive curvature; 0 = the reference's principal-"
+                        "branch-only estimator (strict parity mode)")
     p.add_argument("--epochs", type=int, default=100)
     p.add_argument("--batch_size", type=int, default=128)
     p.add_argument("--h_dim", type=int, default=400)
@@ -82,7 +86,8 @@ def main(argv=None):
 
     components = parse_components(args.model,
                                   fixed_curvature=args.fixed_curvature,
-                                  scalar_sigma=args.scalar_sigma)
+                                  scalar_sigma=args.scalar_sigma,
+                                  wraps=args.wraps)
     dataset = load_dataset(args.dataset)
     arch = args.arch or ("conv" if args.dataset == "cifar" else "mlp")
     model_cfg = VAEConfig(components=components,

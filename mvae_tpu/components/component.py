@@ -73,6 +73,10 @@ class Component:
     posterior: str
     fixed_curvature: bool = True
     scalar_sigma: bool = False
+    # wrap-image pairs summed in wrapped-normal densities on positive
+    # curvature: 1 = exact density at trained sigma (default); 0 = the
+    # reference's PRINCIPAL-BRANCH-ONLY estimator, for strict parity runs
+    wraps: int = 1
 
     def __post_init__(self):
         if self.posterior not in POSTERIORS:
@@ -194,8 +198,10 @@ def reparametrize(key, comp: Component, params, features,
         return Reparametrized(z, log_q, log_p, kl)
 
     if comp.posterior == "wrapped":
-        z, log_q = wrapped_normal.sample_and_log_prob(key, man, mu, scale, k)
-        log_p = wrapped_normal.log_prob_mu0(man, z, jnp.ones((), dtype), k)
+        z, log_q = wrapped_normal.sample_and_log_prob(key, man, mu, scale, k,
+                                                      wraps=comp.wraps)
+        log_p = wrapped_normal.log_prob_mu0(man, z, jnp.ones((), dtype), k,
+                                            wraps=comp.wraps)
         kl = log_q - log_p
         return Reparametrized(z, log_q, log_p, kl)
 

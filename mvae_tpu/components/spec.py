@@ -27,8 +27,13 @@ _FACTOR_RE = re.compile(
 
 
 def parse_components(spec: str, fixed_curvature: bool = True,
-                     scalar_sigma: bool = False) -> tuple[Component, ...]:
-    """Parse a latent spec string into a tuple of Components."""
+                     scalar_sigma: bool = False,
+                     wraps: int = 1) -> tuple[Component, ...]:
+    """Parse a latent spec string into a tuple of Components.
+
+    ``wraps=0`` selects the reference's principal-branch-only wrapped-
+    normal estimator (strict parity mode); the default 1 is the exact
+    density (see distributions/wrapped_normal.py)."""
     spec = spec.strip().lower()
     if not spec:
         raise ValueError("empty latent spec")
@@ -49,7 +54,7 @@ def parse_components(spec: str, fixed_curvature: bool = True,
         for _ in range(mult):
             comps.append(Component(Manifold(kind, dim), posterior,
                                    fixed_curvature=fixed_curvature,
-                                   scalar_sigma=scalar_sigma))
+                                   scalar_sigma=scalar_sigma, wraps=wraps))
     return tuple(comps)
 
 

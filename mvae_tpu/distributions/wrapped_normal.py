@@ -73,8 +73,14 @@ def sample(key, man, mu, sigma, k):
 
 
 def _log_prob_from_principal(man, v, sigma, k, wraps: int):
-    """Exact log q from the principal-branch tangent v (orthonormal mu0
-    frame), summing over wrap images for K > 0."""
+    """Log q from the principal-branch tangent v (orthonormal mu0 frame).
+
+    ``wraps`` counts wrap-image PAIRS summed for K > 0: ``wraps=0`` is the
+    PRINCIPAL BRANCH ONLY — exactly the reference's estimator semantics
+    (``mt/mvae/distributions/wrapped_normal.py`` [UNVERIFIED] evaluates one
+    preimage) — and the default ``wraps=1`` adds the nearest image in each
+    direction, making log_prob the exact density at trained-regime sigma
+    (truncation error bounds tested in tests/distributions)."""
     n = man.dim
     dtype = v.dtype
     zero = jnp.zeros((), dtype=dtype)
@@ -84,7 +90,7 @@ def _log_prob_from_principal(man, v, sigma, k, wraps: int):
     # product-latent step stays lean; only s/p/u pay for wrapping).
     if man.curvature_sign < 0 or man.kind == "e":
         wraps = 0
-    if wraps == 0 and (man.curvature_sign < 0 or man.kind == "e"):
+    if wraps == 0:
         r = stable.safe_norm(v)
         return normal.log_prob(v, zero, sigma) - man.logdet_exp_mu0(r, k)
 
@@ -98,11 +104,10 @@ def _log_prob_from_principal(man, v, sigma, k, wraps: int):
     sig_min = jnp.min(jnp.broadcast_to(sigma, v.shape), axis=-1,
                       keepdims=True)
 
-    branches = [r]                                # principal, always live
-    for m in range(wraps + 1):
-        if m > 0:
-            branches.append(r + m * period)       # +v_hat direction
-        branches.append(-((m + 1) * period - r))  # -v_hat direction (signed)
+    branches = [r]                         # principal, always live
+    for m in range(1, wraps + 1):          # m-th image PAIR (signed radii)
+        branches.append(r + m * period)
+        branches.append(r - m * period)
     logps = []
     for i, rb_raw in enumerate(branches):
         if i == 0:

@@ -215,9 +215,12 @@ def log_likelihood(key, cfg: VAEConfig, params, x, n_samples: int = 500,
         return jax.vmap(one_sample)(jax.random.split(ck, chunk_size))
 
     log_w = jax.lax.map(one_chunk, keys)  # (n_chunks, chunk, B)
-    log_w = log_w.reshape(n_samples, *log_w.shape[2:]).astype(jnp.float32)
+    # accumulate the logsumexp in >= f32 (never DOWNgrade: f64 oracles in
+    # tests rely on full-precision composition)
+    acc = jnp.float32 if log_w.dtype == jnp.bfloat16 else log_w.dtype
+    log_w = log_w.reshape(n_samples, *log_w.shape[2:]).astype(acc)
     return jax.scipy.special.logsumexp(log_w, axis=0) - jnp.log(
-        jnp.float32(n_samples))
+        jnp.asarray(n_samples, acc))
 
 
 def generate(key, cfg: VAEConfig, params, n: int, dtype=jnp.float32):

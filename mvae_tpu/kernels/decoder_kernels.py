@@ -1,0 +1,146 @@
+"""Fused MLP-decoder + Bernoulli log-likelihood Pallas kernel (IWAE path).
+
+This is the default-ON Pallas kernel: it owns the hot op of the north-star
+metric (IWAE-500 marginal LL, SURVEY.md §3.3 — reference
+``mt/mvae/models/vae.py::log_likelihood`` [UNVERIFIED]), computing
+
+    ll(z, x) = sum_pixels [ x * logits - softplus(logits) ],
+    logits   = relu(z @ W1 + b1) @ W2 + b2
+
+for z of shape (S, B, Z) against x of shape (B, D), entirely in VMEM.
+
+Why it exists (all measured on TPU v5e, see roofline.py):
+
+* **Precision.** XLA's *default* f32 dot on TPU is a single bf16 pass:
+  the unfused jnp eval path silently carries up to ~1 nat of per-sample
+  log p(x|z) error, which an estimator chasing a 0.1-nat reproduction
+  target cannot absorb. Both GEMMs here run as THREE bf16 MXU passes
+  over hi/lo splits of the f32 operands (max error ~2e-3 nats per
+  784-pixel row vs a full-f32 oracle) at half the passes of XLA's
+  6-pass Precision.HIGHEST - ~4x faster at the op level.
+* **Fusion.** ``h`` and ``logits`` never round-trip HBM (~9.5 KB/row
+  saved), and the x tile is fetched once per batch block and REUSED
+  across the whole importance-sample grid axis.
+* **Layout.** Everything runs TRANSPOSED - batch along lanes:
+  z arrives as (S, Z, B), x as (D, B), weights as (H, Z)/(D, H), and the
+  pixel reduction is a cross-SUBLANE sum. In the natural orientation the
+  (S, B, Z<=12) tensors tile as T(8,128) with the trailing dim padded
+  8->128: XLA materializes a 16x-padded z buffer through a slow kLoop
+  pad-fusion and the kernel DMA reads at 8/128 lane efficiency
+  (measured: ~49 ms of pure layout overhead per IWAE-500 eval at
+  B=2048, more than the kernel's entire MXU time).
+
+End-to-end on the h2,s2,e2 MNIST VAE, IWAE-500 at B=2048 (v5e): 18.1 ms
+through this kernel vs 35.5 ms for the f32-grade (Precision.HIGHEST)
+XLA path it replaces - 1.96x - and ~2e-3-nat agreement with it, where
+the bf16-grade XLA default (12.3 ms) is off by up to ~1 nat per sample.
+
+Eval-only (IWAE has no backward); models.vae.log_likelihood routes here
+for depth-1 MLP decoders unless MVAE_FUSED_DECODER=0.
+"""
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BLOCK_C = 512  # batch lanes per tile; VMEM budget ~8 MB at D=784, H=400
+
+
+def use_fused_decoder() -> bool:
+    """Default ON on compiled backends; interpret mode (CPU tests) is
+    opt-in via MVAE_FUSED_DECODER=1 (it is exact but slow)."""
+    v = os.environ.get("MVAE_FUSED_DECODER", "auto")
+    if v in ("0", "1"):
+        return v == "1"
+    return jax.default_backend() != "cpu"
+
+
+def _split(a):
+    """f32 -> (hi, lo) bf16 pair with a = hi + lo up to 2^-16 relative."""
+    hi = a.astype(jnp.bfloat16)
+    lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _mm3(wh, wl, xh, xl):
+    """~f32-accurate (M,K)@(K,N) from pre-split bf16 operands (3 MXU
+    passes, f32 accumulation; the dropped lo@lo term is O(2^-16))."""
+    dn = (((1,), (0,)), ((), ()))
+    return (jax.lax.dot_general(wh, xh, dn,
+                                preferred_element_type=jnp.float32)
+            + jax.lax.dot_general(wh, xl, dn,
+                                  preferred_element_type=jnp.float32)
+            + jax.lax.dot_general(wl, xh, dn,
+                                  preferred_element_type=jnp.float32))
+
+
+def _decode_bce_kernel(zt_ref, xt_ref, w1h_ref, w1l_ref, b1_ref, w2h_ref,
+                       w2l_ref, b2_ref, o_ref):
+    s = pl.program_id(1)
+    zh, zl = _split(zt_ref[0])                        # (Z, BLOCK)
+    ht = _mm3(w1h_ref[:], w1l_ref[:], zh, zl) + b1_ref[:]   # (H, BLOCK)
+    ht = jnp.maximum(ht, 0.0)
+    hh, hl = _split(ht)
+    logits = _mm3(w2h_ref[:], w2l_ref[:], hh, hl) + b2_ref[:]  # (D, BLOCK)
+    # stable x*l - softplus(l); pixel sum = cross-sublane reduction
+    t = xt_ref[:] * logits - (jnp.maximum(logits, 0.0)
+                              + jnp.log1p(jnp.exp(-jnp.abs(logits))))
+    o_ref[s % 8, :] = jnp.sum(t, axis=0, keepdims=True)[0]
+
+
+def fused_decode_bce(z, x, w1, b1, w2, b2):
+    """log p(x | z) for a depth-1 ReLU MLP Bernoulli decoder.
+
+    z: (S, B, Z) latent draws; x: (B, D) targets in [0, 1].
+    Returns (S, B) f32 per-(sample, example) pixel-sum log-likelihood.
+    """
+    S, B, Z = z.shape
+    D = x.shape[-1]
+    H = w1.shape[1]
+    block = min(BLOCK_C, -(-B // 128) * 128)
+    pad = (-B) % block
+    # transpose to batch-along-lanes OUTSIDE the kernel: (S,B,Z<=12)
+    # buffers tile T(8,128) with the trailing dim padded 16x; (S,Z,B) and
+    # (D,B) tile compactly and DMA at full lane width
+    zt = jnp.swapaxes(z, 1, 2)                        # (S, Z, B)
+    xt = jnp.swapaxes(x, 0, 1).astype(jnp.float32)    # (D, B)
+    if pad:
+        zt = jnp.concatenate(
+            [zt, jnp.zeros((S, Z, pad), zt.dtype)], axis=2)
+        xt = jnp.concatenate([xt, jnp.zeros((D, pad), xt.dtype)], axis=1)
+    bp = B + pad
+    w1h, w1l = _split(w1.T)                           # (H, Z)
+    w2h, w2l = _split(w2.T)                           # (D, H)
+    sp = -(-S // 8) * 8  # out rows padded to a sublane multiple
+
+    out = pl.pallas_call(
+        _decode_bce_kernel,
+        grid=(bp // block, S),
+        in_specs=[
+            pl.BlockSpec((1, Z, block), lambda b, s: (s, 0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, block), lambda b, s: (0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, Z), lambda b, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, Z), lambda b, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, 1), lambda b, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, H), lambda b, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, H), lambda b, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, 1), lambda b, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, block), lambda b, s: (s // 8, b),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((sp, bp), jnp.float32),
+        interpret=jax.default_backend() == "cpu",
+    )(zt, xt, w1h, w1l, b1[:, None], w2h, w2l, b2[:, None])
+    return out[:S, :B]

@@ -1,6 +1,28 @@
-"""HBM-bandwidth roofline measurement for the Pallas manifold kernels.
+"""Roofline measurement for the Pallas kernels: achieved bandwidth vs the
+COMPUTED binding roofline (BASELINE success criterion: >=80% of the binding
+roofline, computed — not asserted).
 
-Run on the TPU:  python -m mvae_tpu.kernels.roofline
+Two pieces:
+
+1. **Machine calibration** (measured live, not quoted):
+   - `stream` : HBM triad bandwidth through a Pallas kernel (2 reads +
+     1 write), the achievable-DMA ceiling for these I/O patterns;
+   - `fma`    : VPU elementwise throughput (chained FMA);
+   - `tanh`   : VPU transcendental throughput;
+   - `reduce` : one (2048,128) -> (2048,1) cross-lane tree reduction
+     (including one fused elementwise pass — the natural unit in these
+     kernels, where every reduction consumes a fresh product);
+   - `transpose`: one (2048,8) <-> (8,2048) relayout;
+   - `mxu`    : bf16 matmul throughput (f32 accumulation).
+
+2. **Per-kernel roofline**: each kernel's cost model is written out as
+   op counts per 2048-row block (elementwise passes, transcendental
+   passes, lane reductions, relayouts, MXU MACs) priced at the calibrated
+   rates. The binding roofline is max(t_dma, t_vpu, t_mxu) — DMA pipelines
+   against compute across grid steps, the MXU runs in parallel with the
+   VPU, VPU work is serial with itself. We report achieved GB/s, the XLA
+   (jnp) path, % of the plain-HBM roofline, % of the computed binding
+   roofline, and forward accuracy vs the f64-free jnp oracle.
 
 Methodology (this backend makes naive timing lie — see memory notes /
 bench.py comments): `block_until_ready` can return before execution
@@ -12,8 +34,7 @@ op's marginal cost by differencing two scans that differ ONLY in how many
 iterations apply the op (same mutation count), then divides by the
 iteration delta.
 
-Roofline: TPU v5e HBM ~819 GB/s. Bytes counted are the op's logical
-reads+writes (inputs at n = 128 lanes => no tile padding inflation).
+Run on the TPU:  python -m mvae_tpu.kernels.roofline
 """
 from __future__ import annotations
 
@@ -23,84 +44,374 @@ import time
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from . import manifold_kernels as mk
+from .decoder_kernels import fused_decode_bce
 from ..ops import lorentz as lorentz_ops
 from ..ops import stereographic as stereo_ops
 
-HBM_GBPS = 819.0  # TPU v5e nominal
+HBM_GBPS_NOMINAL = 819.0  # TPU v5e spec sheet
 B, N = 1 << 20, 128
+BLK = mk.BLOCK_B
 ITERS_LO, ITERS_HI = 4, 20
 
 
-def _measure(op_fn, n_in_arrays: int, extra_out_bytes: int, name: str,
-             results: list):
-    """Marginal-cost measurement of op_fn(x, y, k) -> per-row scalar-ish."""
-    x0 = jax.random.normal(jax.random.key(0), (B, N)) * 0.05
-    y0 = jax.random.normal(jax.random.key(1), (B, N)) * 0.05
-    k = jnp.float32(-1.0)
+def _log(msg):
+    print(msg, file=sys.stderr, flush=True)
 
-    def make(n_op_iters: int, total_iters: int):
+
+# ------------------------------------------------------------- measurement
+def measure(fn, args, iters=(ITERS_LO, ITERS_HI)):
+    """Marginal seconds per op application via scan differencing."""
+    def make(n_op, total):
         @jax.jit
-        def run(x, y):
+        def run(x, rest):
             def body(carry, i):
                 x, acc = carry
-                x = x + 1e-9  # unique work each iteration
+                x = x + 1e-9
+
                 def with_op(x):
-                    out = op_fn(x, y, k)
-                    return acc + jnp.sum(out[0] if isinstance(out, tuple)
-                                         else out)
+                    out = fn(x, *rest)
+                    if isinstance(out, tuple):
+                        return acc + jnp.sum(out[0][..., :1]) \
+                            + jnp.sum(out[1][:1])
+                    return acc + jnp.sum(out[..., :1])
+
                 def without_op(x):
-                    return acc + x[0, 0]
-                acc2 = jax.lax.cond(i < n_op_iters, with_op, without_op, x)
+                    return acc + x.reshape(-1)[0]
+
+                acc2 = jax.lax.cond(i < n_op, with_op, without_op, x)
                 return (x, acc2), None
-            (x, acc), _ = jax.lax.scan(
-                body, (x, jnp.float32(0)),
-                jnp.arange(total_iters, dtype=jnp.int32))
+
+            (x, acc), _ = jax.lax.scan(body, (x, jnp.float32(0)),
+                                       jnp.arange(total, dtype=jnp.int32))
             return acc
         return run
 
+    x0, rest = args[0], args[1:]
     t = {}
-    for n_op in (ITERS_LO, ITERS_HI):
-        run = make(n_op, ITERS_HI + 2)
-        float(run(x0, y0))  # compile + warm
+    for n_op in iters:
+        run = make(n_op, iters[1] + 2)
+        float(run(x0, rest))  # compile + warm
         best = 1e9
         for r in range(3):
             xr = x0 + (r + 1) * 1e-8
             t0 = time.time()
-            float(run(xr, y0))
+            float(run(xr, rest))
             best = min(best, time.time() - t0)
         t[n_op] = best
-    per_op = (t[ITERS_HI] - t[ITERS_LO]) / (ITERS_HI - ITERS_LO)
-    gb = (n_in_arrays * B * N * 4 + B * 4 + extra_out_bytes) / 1e9
-    gbps = gb / per_op
-    util = 100.0 * gbps / HBM_GBPS
-    print(f"{name:26s} {per_op * 1e3:7.3f} ms/op  {gbps:6.0f} GB/s "
-          f"({util:.0f}% of v5e roofline)", file=sys.stderr, flush=True)
-    results.append({"kernel": name, "ms_per_op": round(per_op * 1e3, 3),
-                    "gbps": round(gbps, 1),
-                    "roofline_util_pct": round(util, 1)})
+    return (t[iters[1]] - t[iters[0]]) / (iters[1] - iters[0])
+
+
+def _elementwise_call(kernel, x, out_like=None):
+    out_like = x if out_like is None else out_like
+    return pl.pallas_call(
+        kernel,
+        grid=(x.shape[0] // BLK,),
+        in_specs=[pl.BlockSpec((BLK, x.shape[1]), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((BLK, out_like.shape[1]), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(out_like.shape, out_like.dtype),
+        interpret=jax.default_backend() == "cpu",
+    )(x)
+
+
+# ------------------------------------------------------- calibration kernels
+def _triad_kernel(x_ref, y_ref, o_ref):
+    o_ref[:] = x_ref[:] + y_ref[:]
+
+
+def _fma_kernel(x_ref, o_ref):
+    acc = x_ref[:]
+    for _ in range(64):
+        acc = acc * 1.0000001 + x_ref[:]
+    o_ref[:] = acc
+
+
+def _tanh_kernel(x_ref, o_ref):
+    acc = x_ref[:]
+    for _ in range(16):
+        acc = jnp.tanh(acc)
+    o_ref[:] = acc
+
+
+def _reduce_kernel(x_ref, o_ref):
+    x = x_ref[:]
+    acc = jnp.zeros((x.shape[0], 1), x.dtype)
+    for i in range(8):
+        acc = acc + jnp.sum(x + float(i), axis=1, keepdims=True)
+    o_ref[:] = jnp.broadcast_to(acc, o_ref.shape)
+
+
+def _transpose_kernel(x_ref, o_ref):
+    p = x_ref[:, 0:8]                      # (BLK, 8)
+    acc = jnp.zeros((8, x_ref.shape[0]), x_ref.dtype)
+    for i in range(8):
+        acc = acc + (p + float(i)).T
+    o_ref[:] = jnp.broadcast_to(jnp.sum(acc, axis=0, keepdims=True).T,
+                                o_ref.shape)
+
+
+def _mxu_kernel(x_ref, o_ref):
+    # two INDEPENDENT 4-matmul chains so the MXU pipeline stays fed
+    x = x_ref[:].astype(jnp.bfloat16)
+    w = jnp.full((x_ref.shape[1], 128), 0.01, jnp.bfloat16)
+    dn = (((1,), (0,)), ((), ()))
+    a = jax.lax.dot_general(x, w, dn, preferred_element_type=jnp.float32)
+    b = jax.lax.dot_general(x + 1.0, w, dn,
+                            preferred_element_type=jnp.float32)
+    for _ in range(3):
+        a = jax.lax.dot_general(a.astype(jnp.bfloat16), w, dn,
+                                preferred_element_type=jnp.float32)
+        b = jax.lax.dot_general(b.astype(jnp.bfloat16), w, dn,
+                                preferred_element_type=jnp.float32)
+    o_ref[:] = a + b
+
+
+def _read2_kernel(x_ref, y_ref, o_ref):
+    """I/O skeleton of the distance kernels: 2 reads + row-block store."""
+    i = pl.program_id(0)
+    o_ref[i % 8, :] = (x_ref[:, 0:1] + y_ref[:, 0:1]).T[0]
+
+
+def _rw31_kernel(x_ref, y_ref, s_ref, z_ref, o_ref):
+    """I/O skeleton of wrapped_sample: 3 reads + 1 full write + row store."""
+    i = pl.program_id(0)
+    z_ref[:] = x_ref[:] + y_ref[:] + s_ref[:]
+    o_ref[i % 8, :] = x_ref[:, 0:1].T[0]
+
+
+def calibrate():
+    x = jax.random.normal(jax.random.key(0), (B, N)) * 0.05
+    y = jax.random.normal(jax.random.key(1), (B, N)) * 0.05
+    cal = {}
+
+    def triad(x, y):
+        return pl.pallas_call(
+            _triad_kernel, grid=(B // BLK,),
+            in_specs=[pl.BlockSpec((BLK, N), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM)] * 2,
+            out_specs=pl.BlockSpec((BLK, N), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B, N), x.dtype),
+            interpret=jax.default_backend() == "cpu",
+        )(x, y)
+
+    t = measure(triad, (x, y))
+    cal["stream_gbps"] = 3 * B * N * 4 / t / 1e9
+
+    t = measure(lambda x: _elementwise_call(_fma_kernel, x), (x,))
+    cal["fma_tflops"] = B * N * 64 * 2 / t / 1e12
+    cal["elem_pass_us"] = (BLK * N / (cal["fma_tflops"] * 1e12 / 2)) * 1e6
+
+    t = measure(lambda x: _elementwise_call(_tanh_kernel, x), (x,))
+    cal["tanh_gops"] = B * N * 16 / t / 1e9
+    cal["transc_pass_us"] = BLK * N / (cal["tanh_gops"] * 1e9) * 1e6
+
+    t = measure(lambda x: _elementwise_call(_reduce_kernel, x), (x,))
+    cal["reduce_us"] = t / (B / BLK) / 8 * 1e6
+
+    t = measure(lambda x: _elementwise_call(_transpose_kernel, x), (x,))
+    cal["transpose_us"] = t / (B / BLK) / 8 * 1e6
+
+    t = measure(lambda x: _elementwise_call(_mxu_kernel, x), (x,))
+    cal["mxu_tmacs"] = B * N * 128 * 8 / t / 1e12
+
+    # I/O-skeleton DMA ceilings (same block specs as the real kernels,
+    # near-zero compute): the honest achievable-DMA bound per pattern
+    nb = B // BLK
+    nbp = -(-nb // 8) * 8
+
+    def read2(x, y):
+        return pl.pallas_call(
+            _read2_kernel, grid=(nb,),
+            in_specs=[pl.BlockSpec((BLK, N), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM)] * 2,
+            out_specs=pl.BlockSpec((8, BLK), lambda i: (i // 8, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((nbp, BLK), x.dtype),
+            interpret=jax.default_backend() == "cpu",
+        )(x, y)
+
+    t = measure(read2, (x, y))
+    cal["dma_read2_us"] = t / nb * 1e6
+
+    def rw31(x, y):
+        return pl.pallas_call(
+            _rw31_kernel, grid=(nb,),
+            in_specs=[pl.BlockSpec((BLK, N), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM)] * 3,
+            out_specs=(pl.BlockSpec((BLK, N), lambda i: (i, 0),
+                                    memory_space=pltpu.VMEM),
+                       pl.BlockSpec((8, BLK), lambda i: (i // 8, 0),
+                                    memory_space=pltpu.VMEM)),
+            out_shape=(jax.ShapeDtypeStruct((B, N), x.dtype),
+                       jax.ShapeDtypeStruct((nbp, BLK), x.dtype)),
+            interpret=jax.default_backend() == "cpu",
+        )(x, y, x)
+
+    t = measure(rw31, (x, y))
+    cal["dma_rw31_us"] = t / nb * 1e6
+
+    for k, v in cal.items():
+        _log(f"  calib {k:16s} = {v:9.3f}")
+    return cal
+
+
+# ---------------------------------------------------------- kernel models
+def _model_block_us(cal, n_bytes_row, dma_key="dma_read2_us", elem=0,
+                    transc=0, reduces=0, transposes=0, tail_ops=0,
+                    mxu_macs=0):
+    """Binding-roofline time for one 2048-row block, priced at calibrated
+    rates. tail_ops = per-row-scalar ops on compact (1, B) vregs (1/128 of
+    an elementwise pass each); dma_key picks the measured I/O-skeleton
+    ceiling matching the kernel's block-spec pattern."""
+    t_dma = cal[dma_key]
+    t_vpu = (elem * cal["elem_pass_us"] + transc * cal["transc_pass_us"]
+             + reduces * cal["reduce_us"] + transposes * cal["transpose_us"]
+             + tail_ops * cal["elem_pass_us"] / 128.0)
+    t_mxu = mxu_macs / (cal["mxu_tmacs"] * 1e12) * 1e6
+    return max(t_dma, t_vpu, t_mxu), dict(
+        t_dma_us=round(t_dma, 3), t_vpu_us=round(t_vpu, 3),
+        t_mxu_us=round(t_mxu, 3))
+
+
+def _report(name, cal, per_op_s, n_bytes_row, n_rows, accuracy, model_kw,
+            results, xla_per_op_s=None):
+    gbps = n_rows * n_bytes_row / per_op_s / 1e9
+    t_model, parts = _model_block_us(cal, n_bytes_row, **model_kw)
+    binding_gbps = BLK * n_bytes_row / (t_model * 1e-6) / 1e9
+    row = {
+        "kernel": name,
+        "ms_per_op": round(per_op_s * 1e3, 3),
+        "gbps": round(gbps, 1),
+        "pct_of_hbm_nominal": round(100 * gbps / HBM_GBPS_NOMINAL, 1),
+        "binding_roofline_gbps": round(binding_gbps, 1),
+        "pct_of_binding": round(100 * gbps / binding_gbps, 1),
+        "model_parts_us": parts,
+        "model_counts": model_kw,
+        "max_rel_err_vs_oracle": accuracy,
+    }
+    if xla_per_op_s is not None:
+        row["xla_gbps"] = round(n_rows * n_bytes_row / xla_per_op_s / 1e9, 1)
+        row["speedup_vs_xla"] = round(xla_per_op_s / per_op_s, 2)
+    _log(f"{name:22s} {gbps:6.0f} GB/s "
+         f"(xla {row.get('xla_gbps', float('nan')):6.1f}; "
+         f"binding {binding_gbps:6.0f} -> {row['pct_of_binding']:5.1f}%; "
+         f"hbm {row['pct_of_hbm_nominal']:4.1f}%; err {accuracy:.1e})")
+    results.append(row)
+
+
+def _accuracy(fn, oracle, args):
+    """Max relative error with an absolute floor of 1% of the oracle's own
+    scale (near-zero components otherwise report meaningless ratios)."""
+    a = fn(*args)
+    b = oracle(*args)
+    if not isinstance(a, tuple):
+        a, b = (a,), (b,)
+    return max(
+        float(jnp.max(jnp.abs(x - y)
+                      / (jnp.abs(y) + 1e-2 * jnp.max(jnp.abs(y)))))
+        for x, y in zip(a, b))
 
 
 def main():
-    dev = jax.devices()[0]
-    print(f"device: {dev}", file=sys.stderr)
-    results = []
+    _log(f"device: {jax.devices()[0]}")
+    _log("calibrating machine rates...")
+    cal = calibrate()
+    results = [{"calibration": {k: round(v, 3) for k, v in cal.items()}}]
 
-    _measure(mk.stereo_distance, 2, 0, "pallas stereo_distance", results)
-    _measure(lambda x, y, k: stereo_ops.distance(x, y, k), 2, 0,
-             "xla   stereo_distance", results)
-    _measure(mk.lorentz_distance, 2, 0, "pallas lorentz_distance", results)
-    _measure(lambda x, y, k: lorentz_ops.distance(x, y, k), 2, 0,
-             "xla   lorentz_distance", results)
+    kk = jnp.float32(-1.0)
+    x0 = jax.random.normal(jax.random.key(0), (B, N)) * 0.05
+    y0 = jax.random.normal(jax.random.key(1), (B, N)) * 0.05
 
-    sigma = 0.8
-    _measure(lambda v, mu, k: mk.wrapped_sample_stereo(
-        v, mu, jnp.float32(sigma), k), 2, B * N * 4,
-        "pallas wrapped_sample", results)
-    _measure(lambda v, mu, k: mk._wrapped_sample_jnp(
-        v, mu, jnp.float32(sigma), k), 2, B * N * 4,
-        "xla   wrapped_sample", results)
+    # --- stereo distance: 3 products+reduces, 1 packT, ~45-op compact tail
+    acc = _accuracy(mk.stereo_distance, stereo_ops.distance,
+                    (stereo_ops.exp_map_mu0(x0[:4096] * 10, kk),
+                     stereo_ops.exp_map_mu0(y0[:4096] * 10, kk), kk))
+    t = measure(mk.stereo_distance, (x0, y0, kk))
+    t_xla = measure(stereo_ops.distance, (x0, y0, kk))
+    _report("pallas stereo_distance", cal, t, 2 * N * 4 + 4, B, acc,
+            dict(reduces=3, transposes=1, tail_ops=45), results,
+            xla_per_op_s=t_xla)
+
+    # --- lorentz distance: 1 product+reduce, 1 relayout, tiny tail
+    xl = lorentz_ops.exp_map_mu0(x0[:, : N - 1] * 8, kk)
+    yl = lorentz_ops.exp_map_mu0(y0[:, : N - 1] * 8, kk)
+    acc = _accuracy(mk.lorentz_distance, lorentz_ops.distance,
+                    (xl[:4096], yl[:4096], kk))
+    t = measure(mk.lorentz_distance, (xl, yl, kk))
+    t_xla = measure(lorentz_ops.distance, (xl, yl, kk))
+    _report("pallas lorentz_distance", cal, t, 2 * N * 4 + 4, B, acc,
+            dict(elem=1, reduces=1, transposes=1), results,
+            xla_per_op_s=t_xla)
+
+    # --- wrapped sample: 4 products + log-sigma pass + 5 reduces + 2
+    #     transposes + z assembly (3 passes) + ~110-op compact tail
+    sig = jnp.float32(0.8)
+    mu0 = stereo_ops.exp_map_mu0(y0 * 6, kk)
+    acc = _accuracy(
+        lambda v, mu, k: mk.wrapped_sample_stereo(v, mu, sig, k),
+        lambda v, mu, k: mk._wrapped_sample_jnp(v, mu, sig, k),
+        (x0[:4096] * 8, mu0[:4096], kk))
+    t = measure(lambda v, mu, k: mk.wrapped_sample_stereo(v, mu, sig, k),
+                (x0 * 8, mu0, kk))
+    t_xla = measure(lambda v, mu, k: mk._wrapped_sample_jnp(v, mu, sig, k),
+                    (x0 * 8, mu0, kk))
+    _report("pallas wrapped_sample", cal, t, 4 * N * 4 + 4, B, acc,
+            dict(dma_key="dma_rw31_us", elem=7, transc=1, reduces=5,
+                 transposes=2, tail_ops=110),
+            results, xla_per_op_s=t_xla)
+
+    # --- fused decoder+BCE: MXU-bound (3-pass hi/lo GEMMs)
+    S, Bd, Z, H, D = 16, 2048, 8, 400, 784
+    ks = jax.random.split(jax.random.key(7), 6)
+    w1 = 0.3 * jax.random.normal(ks[0], (Z, H), jnp.float32)
+    b1 = 0.05 * jax.random.normal(ks[1], (H,), jnp.float32)
+    w2 = 0.08 * jax.random.normal(ks[2], (H, D), jnp.float32)
+    b2 = 0.05 * jax.random.normal(ks[3], (D,), jnp.float32)
+    zs = jax.random.normal(ks[4], (S, Bd, Z), jnp.float32)
+    xs = (jax.random.uniform(ks[5], (Bd, D)) < 0.3).astype(jnp.float32)
+
+    def xla_decode(z, prec):
+        dot = lambda a, b: jax.lax.dot_general(  # noqa: E731
+            a, b, (((a.ndim - 1,), (0,)), ((), ())), precision=prec,
+            preferred_element_type=jnp.float32)
+        h = jax.nn.relu(dot(z, w1) + b1)
+        logits = dot(h, w2) + b2
+        return jnp.sum(xs[None] * logits - jax.nn.softplus(logits), axis=-1)
+
+    ll_hi = xla_decode(zs, jax.lax.Precision.HIGHEST)
+    ll_fused = fused_decode_bce(zs, xs, w1, b1, w2, b2)
+    ll_def = xla_decode(zs, None)
+    err_fused = float(jnp.max(jnp.abs(ll_fused - ll_hi)))
+    err_def = float(jnp.max(jnp.abs(ll_def - ll_hi)))
+    t = measure(lambda z: fused_decode_bce(z, xs, w1, b1, w2, b2), (zs,))
+    t_hi = measure(lambda z: xla_decode(z, jax.lax.Precision.HIGHEST), (zs,))
+    t_def = measure(lambda z: xla_decode(z, None), (zs,))
+    rows = S * Bd
+    macs3 = rows * (Z * H + H * D) * 3
+    tmacs = macs3 / t / 1e12
+    MXU_NOMINAL_TMACS = 98.5  # v5e: 197 Tflop/s bf16
+    row = {
+        "kernel": "pallas fused_decode_bce",
+        "ms_per_op": round(t * 1e3, 3),
+        "tmacs_3pass": round(tmacs, 1),
+        "pct_of_mxu_binding": round(100 * tmacs / MXU_NOMINAL_TMACS, 1),
+        "speedup_vs_xla_f32": round(t_hi / t, 2),
+        "speedup_vs_xla_default_bf16": round(t_def / t, 2),
+        "max_abs_err_nats_vs_f32": round(err_fused, 5),
+        "xla_default_err_nats_vs_f32": round(err_def, 5),
+    }
+    _log(f"fused_decode_bce       {tmacs:5.1f} Tmac/s "
+         f"({row['pct_of_mxu_binding']}% of nominal MXU; "
+         f"{row['speedup_vs_xla_f32']}x vs XLA-f32, "
+         f"{row['speedup_vs_xla_default_bf16']}x vs XLA-default-bf16; "
+         f"err {err_fused:.1e} vs XLA-default err {err_def:.1e} nats)")
+    results.append(row)
 
     print(json.dumps(results))
 

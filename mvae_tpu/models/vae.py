@@ -141,9 +141,9 @@ def _fused_head_raw(cfg: VAEConfig, params, feats):
     return raws
 
 
-def forward_from_features(key, cfg: VAEConfig, params, x, feats) -> Forward:
-    """Reparameterize + decode from precomputed encoder features (the IWAE
-    path encodes once and draws many importance samples from the same q)."""
+def _reparam_components(key, cfg: VAEConfig, params, feats):
+    """Per-component reparameterization from encoder features: returns the
+    concatenated latent plus summed log q / log p and per-component stats."""
     keys = jax.random.split(key, len(cfg.components))
     raws = _fused_head_raw(cfg, params, feats)
     zs, log_qs, log_ps, kls, curvs = [], [], [], [], []
@@ -155,13 +155,18 @@ def forward_from_features(key, cfg: VAEConfig, params, x, feats) -> Forward:
         log_ps.append(rep.log_p)
         kls.append(rep.kl)
         curvs.append(comp.curvature(cp))
-    z = jnp.concatenate(zs, axis=-1)
+    return (jnp.concatenate(zs, axis=-1), sum(log_qs), sum(log_ps),
+            jnp.stack(kls, axis=-1), jnp.stack(curvs))
+
+
+def forward_from_features(key, cfg: VAEConfig, params, x, feats) -> Forward:
+    """Reparameterize + decode from precomputed encoder features (the IWAE
+    path encodes once and draws many importance samples from the same q)."""
+    z, log_q, log_p, kls, curvs = _reparam_components(key, cfg, params, feats)
     logits = decode(cfg, params, z)
     log_px_z = _sum_data_axes(bernoulli_log_prob(logits, x),
                               len(cfg.data_shape))
-    return Forward(z, log_px_z,
-                   sum(log_qs), sum(log_ps),
-                   jnp.stack(kls, axis=-1), jnp.stack(curvs))
+    return Forward(z, log_px_z, log_q, log_p, kls, curvs)
 
 
 def forward(key, cfg: VAEConfig, params, x) -> Forward:
@@ -191,6 +196,20 @@ def loss_fn(key, cfg: VAEConfig, params, x, beta: float = 1.0):
     return -jnp.mean(value), stats
 
 
+def _fused_decoder_eligible(cfg: VAEConfig, params) -> bool:
+    """The fused Pallas decode+Bernoulli kernel covers depth-1 MLP decoders
+    in f32 within its VMEM budget; everything else takes the jnp path."""
+    from ..kernels import decoder_kernels
+    if not (cfg.arch == "mlp" and cfg.decoder_depth == 1):
+        return False
+    if not decoder_kernels.use_fused_decoder():
+        return False
+    dec = params["decoder"]
+    if dec["out"]["w"].dtype != jnp.float32:
+        return False
+    return cfg.flat_dim <= 1024 and cfg.h_dim <= 1024
+
+
 def log_likelihood(key, cfg: VAEConfig, params, x, n_samples: int = 500,
                    chunk_size: int = 20):
     """IWAE marginal log-likelihood estimate per example (SURVEY.md §3.3).
@@ -201,7 +220,21 @@ def log_likelihood(key, cfg: VAEConfig, params, x, n_samples: int = 500,
     (bounds peak memory at chunk x batch x data) of an inner ``vmap`` over
     ``chunk_size`` samples (keeps the device saturated); the log-weights
     (n, B) stay resident (tiny) and one f32 logsumexp finishes the job.
+
+    log p(x|z) runs in the fused Pallas decoder kernel when eligible
+    (kernels/decoder_kernels.py): ~f32-exact 3-pass GEMMs at 2.4x the
+    f32-grade XLA speed — XLA's DEFAULT f32 dot on TPU is a single bf16
+    pass, whose ~1-nat per-sample log p(x|z) error the 0.1-nat IWAE
+    reproduction target cannot absorb.
     """
+    fused = _fused_decoder_eligible(cfg, params)
+    if fused:
+        # the fused kernel never materializes logits, so the memory bound
+        # behind small chunks is gone: use the largest divisor <= 128 as
+        # the per-launch sample group (amortizes kernel launch; the x tile
+        # is fetched once per batch block and reused across the group)
+        chunk_size = next(d for d in range(min(128, n_samples), 0, -1)
+                          if n_samples % d == 0)
     assert n_samples % chunk_size == 0, "n_samples must divide into chunks"
     n_chunks = n_samples // chunk_size
     keys = jax.random.split(key, n_chunks)
@@ -211,8 +244,28 @@ def log_likelihood(key, cfg: VAEConfig, params, x, n_samples: int = 500,
         fwd = forward_from_features(sk, cfg, params, x, feats)
         return fwd.log_px_z + fwd.log_p - fwd.log_q
 
+    def one_chunk_fused(ck):
+        from ..kernels.decoder_kernels import fused_decode_bce
+        sks = jax.random.split(ck, chunk_size)
+        z, log_q, log_p, _, _ = jax.vmap(
+            lambda sk: _reparam_components(sk, cfg, params, feats))(sks)
+        dec = params["decoder"]
+        x_flat = x.reshape(x.shape[0], cfg.flat_dim).astype(jnp.float32)
+        ll = fused_decode_bce(z, x_flat, dec["layers"][0]["w"],
+                              dec["layers"][0]["b"], dec["out"]["w"],
+                              dec["out"]["b"])
+        return ll + log_p - log_q
+
     def one_chunk(ck):
-        return jax.vmap(one_sample)(jax.random.split(ck, chunk_size))
+        if fused:
+            return one_chunk_fused(ck)
+        # estimator-grade fallback (conv / deep / bf16 decoders): pin true
+        # f32 GEMMs — XLA's TPU default for f32 dots is ONE bf16 pass,
+        # ~1 nat of per-sample log p(x|z) error. The encoder (outside the
+        # chunks) may stay at default precision: it only shapes q, and
+        # IWAE is unbiased for any q.
+        with jax.default_matmul_precision("highest"):
+            return jax.vmap(one_sample)(jax.random.split(ck, chunk_size))
 
     log_w = jax.lax.map(one_chunk, keys)  # (n_chunks, chunk, B)
     # accumulate the logsumexp in >= f32 (never DOWNgrade: f64 oracles in

@@ -117,3 +117,22 @@ class TestWrappedSample:
         for a, b in zip(g1, g2):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-4, atol=1e-5)
+
+
+class TestWrappedSampleBallClamp:
+    def test_k_negative_boundary_stays_in_ball(self):
+        """ADVICE r1 #4: the kernel forward must apply the same K<0 ball
+        clamp as the jnp oracle (ops.stereographic.project), so forward and
+        custom-vjp backward see the same point at the boundary."""
+        kk = F32(-1.0)
+        # huge tangents push exp_0 / mobius output to the ball boundary
+        v = 40.0 * jax.random.normal(jax.random.key(10), (B, N), F32)
+        mu = stereographic.exp_map_mu0(mk_points(11, 3.0), kk)
+        sigma = F32(5.0)
+        z1, lq1 = wrapped_sample_stereo(v, mu, sigma, kk)
+        z2, lq2 = _wrapped_sample_jnp(v, mu, sigma, kk)
+        max_norm = (1.0 - stable.eps(jnp.float32)) / jnp.sqrt(-kk)
+        assert float(jnp.max(stable.safe_norm(z1))) <= float(max_norm) * (
+            1 + 1e-6)
+        np.testing.assert_allclose(np.asarray(z1), np.asarray(z2),
+                                   rtol=1e-4, atol=1e-5)

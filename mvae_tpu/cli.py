@@ -51,6 +51,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="default: conv for cifar, mlp otherwise")
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--curvature_lr", type=float, default=1e-4)
+    p.add_argument("--init_k", type=float, default=1.0,
+                   help="initial |K| per component (sign comes from the "
+                        "manifold kind; 'u' takes the value as-is, so a "
+                        "small positive init_k puts it near the K=0 "
+                        "crossing)")
     p.add_argument("--burnin", type=int, default=10,
                    help="epochs with curvature frozen")
     p.add_argument("--beta", type=float, default=1.0)
@@ -102,7 +107,8 @@ def main(argv=None):
                      burnin_epochs=args.burnin, beta=args.beta,
                      seed=args.seed, likelihood_n=args.likelihood_n,
                      checkpoint_every=args.checkpoint_every,
-                     dtype=args.dtype, mesh_shape=mesh_shape)
+                     dtype=args.dtype, mesh_shape=mesh_shape,
+                     init_k=args.init_k)
     run_dir = args.run_dir or (
         f"runs/{args.dataset}_{args.model.replace(',', '-').replace(':', '.')}"
         f"_{'fixed' if args.fixed_curvature else 'learn'}_s{args.seed}")

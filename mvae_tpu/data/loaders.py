@@ -97,15 +97,18 @@ def _synthetic_images(name: str, n_train: int, n_test: int, hw: int,
                                   + (yy - cy) ** 2 / (2 * sy ** 2)))
             t += blob[..., None] * rng.uniform(0.3, 1.0, channels)
         templates.append(t)
+    template_arr = np.asarray(templates, np.float32)  # (C, hw, hw, ch)
 
     def draw(n):
+        # f32 end-to-end and vectorized gather: the f64 version allocated
+        # multi-GB temporaries for CIFAR-size splits (minutes of startup)
         cls = rng.integers(0, n_classes, n)
-        base = np.stack([templates[c] for c in cls])
-        base = base * rng.uniform(0.7, 1.3, (n, 1, 1, 1))
-        noise = rng.normal(0, 0.15, base.shape)
-        img = np.clip(base + noise, 0.0, None)
-        return (img / (img.max(axis=(1, 2, 3), keepdims=True) + 1e-9)
-                ).astype(np.float32)
+        img = template_arr[cls]
+        img = img * (0.7 + 0.6 * rng.random((n, 1, 1, 1), dtype=np.float32))
+        img += 0.15 * rng.standard_normal(img.shape, dtype=np.float32)
+        np.clip(img, 0.0, None, out=img)
+        img /= img.max(axis=(1, 2, 3), keepdims=True) + 1e-9
+        return img
 
     return draw(n_train), draw(n_test)
 

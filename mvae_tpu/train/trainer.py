@@ -49,6 +49,7 @@ class TrainConfig:
     eval_batch_size: int = 512
     checkpoint_every: int = 0      # epochs; 0 = only at the end
     dtype: str = "float32"
+    init_k: float = 1.0            # initial |curvature| per component
     # (data, model) mesh shape; None = single device. Batch must divide by
     # the data axis; the model axis shards the wide encoder/decoder GEMMs.
     mesh_shape: tuple[int, int] | None = None
@@ -88,12 +89,34 @@ def _mask_curvature_grads(grads, components, step, burnin_steps):
     return {**grads, "components": tuple(new_comps)}
 
 
+# Jitted-function factories are memoized on their STATIC inputs so that
+# building a second Trainer with the same (model, train-config, data shape,
+# mesh) reuses the compiled epoch/eval programs instead of re-tracing and
+# re-compiling (the dominant cost of Trainer construction, and of the test
+# suite).  `tx` is deliberately NOT part of the key: it is derived
+# deterministically from (params-structure, tc) by make_optimizer, so two
+# instances with equal keys have interchangeable update functions.
+_JIT_FACTORY_CACHE: dict = {}
+
+
+def _memoized(cache_key, build):
+    fn = _JIT_FACTORY_CACHE.get(cache_key)
+    if fn is None:
+        fn = _JIT_FACTORY_CACHE[cache_key] = build()
+    return fn
+
+
 def make_train_epoch(model_cfg: vae.VAEConfig, tc: TrainConfig, tx,
                      binarize: bool, steps_per_epoch: int, mesh=None):
     """Returns jitted fn: (params, opt_state, data, perm, step0, key) ->
     (params, opt_state, stats_means). One lax.scan = one epoch on device;
     with a mesh, every scanned batch is constrained batch-sharded over the
     'data' axis (params stay as placed: replicated or TP-sharded)."""
+    cache_key = ("train_epoch", model_cfg, tc, binarize, steps_per_epoch,
+                 mesh)
+    hit = _JIT_FACTORY_CACHE.get(cache_key)
+    if hit is not None:
+        return hit
 
     burnin_steps = tc.burnin_epochs * steps_per_epoch
 
@@ -137,7 +160,9 @@ def make_train_epoch(model_cfg: vae.VAEConfig, tc: TrainConfig, tx,
         stats_means["curvature"] = stats_seq["curvature"][-1]
         return params, opt_state, step, stats_means
 
-    return jax.jit(train_epoch, donate_argnums=(0, 1))
+    fn = jax.jit(train_epoch, donate_argnums=(0, 1))
+    _JIT_FACTORY_CACHE[cache_key] = fn
+    return fn
 
 
 def make_eval_elbo(model_cfg: vae.VAEConfig, tc: TrainConfig, binarize: bool):
@@ -159,7 +184,8 @@ def make_eval_elbo(model_cfg: vae.VAEConfig, tc: TrainConfig, binarize: bool):
         }
         return stats
 
-    return jax.jit(eval_batch_masked)
+    return _memoized(("eval_elbo", model_cfg, tc, binarize),
+                     lambda: jax.jit(eval_batch_masked))
 
 
 def make_eval_ll(model_cfg: vae.VAEConfig, tc: TrainConfig, binarize: bool):
@@ -169,7 +195,8 @@ def make_eval_ll(model_cfg: vae.VAEConfig, tc: TrainConfig, binarize: bool):
         return vae.log_likelihood(k_model, model_cfg, params, x,
                                   tc.likelihood_n, tc.likelihood_chunk)
 
-    return jax.jit(eval_batch)
+    return _memoized(("eval_ll", model_cfg, tc, binarize),
+                     lambda: jax.jit(eval_batch))
 
 
 class Trainer:
@@ -187,7 +214,8 @@ class Trainer:
         self.steps_per_epoch = len(dataset.train) // tc.batch_size
         key = jax.random.key(tc.seed)
         self.key, init_key = jax.random.split(key)
-        self.params = vae.init_params(init_key, model_cfg, dtype=self.dtype)
+        self.params = vae.init_params(init_key, model_cfg,
+                                      init_k=tc.init_k, dtype=self.dtype)
 
         # optional (data, model) mesh: DP batch sharding + TP weight sharding
         self.mesh = None

@@ -87,9 +87,11 @@ class TestReparametrize:
 
     def test_kl_nonneg_in_expectation(self, spec):
         comp, params, feats = self._setup(spec)
+        # compile once, then draw 20 cheap MC repetitions
+        rep_fn = jax.jit(reparametrize, static_argnums=(1,))
         kls = []
         for i in range(20):
-            rep = reparametrize(jax.random.key(10 + i), comp, params, feats)
+            rep = rep_fn(jax.random.key(10 + i), comp, params, feats)
             kls.append(np.asarray(rep.kl))
         assert np.mean(kls) > -0.05, spec
 
@@ -117,11 +119,11 @@ class TestAnalyticVsMcKl:
         (comp,) = parse_components(spec)
         params = comp.init_params(jax.random.key(0), 8, dtype=F64)
         feats = 0.3 * jax.random.normal(jax.random.key(1), (1, 8), F64)
-        feats = jnp.broadcast_to(feats, (50_000, 8))
+        feats = jnp.broadcast_to(feats, (20_000, 8))
         rep = reparametrize(jax.random.key(2), comp, params, feats)
         mc = float(jnp.mean(rep.log_q - rep.log_p))
         analytic = float(jnp.mean(rep.kl))
-        np.testing.assert_allclose(analytic, mc, rtol=0.05, atol=0.01)
+        np.testing.assert_allclose(analytic, mc, rtol=0.06, atol=0.015)
 
 
 class TestSamplePrior:
@@ -197,7 +199,7 @@ class TestProjectedVmf:
                                             von_mises_fisher)
         comp, params, _ = self._setup()
         k = comp.curvature(params)
-        n = 200_000
+        n = 60_000
         z_s = hyperspherical_uniform.sample(jax.random.key(5), (n,), 4, k,
                                             dtype=F64)
         mu_s = sphere.projected_to_sphere(

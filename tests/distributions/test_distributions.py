@@ -64,7 +64,7 @@ class TestWrappedNormal:
         log-det error that a self-consistency test can't see."""
         man = Manifold(kind, self.DIM)
         k = F64(k0)
-        n = 100_000
+        n = 40_000
         mu1 = jnp.broadcast_to(self._mu(man, k), (n, man.ambient_dim))
         mu2 = jnp.broadcast_to(man.exp_map_mu0(
             jnp.asarray([-0.2, 0.1, 0.0], F64), k), (n, man.ambient_dim))
@@ -72,7 +72,7 @@ class TestWrappedNormal:
                                                       jnp.asarray(0.8, F64), k)
         logq2 = wrapped_normal.log_prob(man, z, mu2, jnp.asarray(1.1, F64), k)
         est = jax.scipy.special.logsumexp(logq2 - logq1) - np.log(n)
-        np.testing.assert_allclose(np.exp(est), 1.0, rtol=0.05)
+        np.testing.assert_allclose(np.exp(est), 1.0, rtol=0.08)
 
     def test_grads_finite_f32(self, kind, k0):
         man = Manifold(kind, self.DIM)
@@ -172,18 +172,18 @@ class TestVonMisesFisher:
     @pytest.mark.parametrize("m,kappa", [(3, 1.0), (5, 8.0)])
     def test_normalization(self, m, kappa):
         """MC integral of the density against the uniform measure."""
-        n = 200_000
+        n = 60_000
         k = F64(1.0)
         z = hyperspherical_uniform.sample(key(9), (n,), m, k, dtype=F64)
         mu = jnp.zeros((m,), F64).at[0].set(1.0)
         logq = von_mises_fisher.log_prob(z, mu, jnp.asarray(kappa, F64), k)
         logp = hyperspherical_uniform.log_prob(z, k)
         est = jax.scipy.special.logsumexp(logq - logp) - np.log(n)
-        np.testing.assert_allclose(np.exp(est), 1.0, rtol=0.05)
+        np.testing.assert_allclose(np.exp(est), 1.0, rtol=0.08)
 
     def test_kl_analytic_vs_mc(self):
         m, kappa = 5, 4.0
-        n = 100_000
+        n = 40_000
         mu = jnp.zeros((n, m), F64).at[:, 0].set(1.0)
         kap = jnp.full((n,), kappa, F64)
         k = F64(1.0)
@@ -196,19 +196,19 @@ class TestVonMisesFisher:
     def test_radius_scaling_consistency(self):
         """Normalization must hold on a non-unit sphere too (area term)."""
         m, kappa, k = 3, 2.0, F64(4.0)  # R = 1/2
-        n = 100_000
+        n = 40_000
         z = hyperspherical_uniform.sample(key(11), (n,), m, k, dtype=F64)
         mu = jnp.zeros((m,), F64).at[0].set(0.5)
         logq = von_mises_fisher.log_prob(z, mu, F64(kappa), k)
         logp = hyperspherical_uniform.log_prob(z, k)
         est = jax.scipy.special.logsumexp(logq - logp) - np.log(n)
-        np.testing.assert_allclose(np.exp(est), 1.0, rtol=0.05)
+        np.testing.assert_allclose(np.exp(est), 1.0, rtol=0.08)
 
     def test_kappa_gradient(self):
         """d/dkappa E[<mu, z>] via the reparameterized sampler vs the
         analytic derivative of A_m — validates the eps-recompute trick."""
         m, kappa = 3, 3.0
-        n = 400_000
+        n = 150_000
 
         def mean_cos(kap):
             mu = jnp.zeros((n, m), F64).at[:, 0].set(1.0)
@@ -316,7 +316,7 @@ class TestRiemannianNormal:
     def test_normalization_by_importance_sampling(self):
         man = Manifold("d", 3)
         k = F64(-1.0)
-        nsamp = 200_000
+        nsamp = 60_000
         mu = jnp.broadcast_to(man.exp_map_mu0(
             jnp.asarray([0.2, -0.1, 0.3], F64), k), (nsamp, 3))
         z, logq = wrapped_normal.sample_and_log_prob(
@@ -330,7 +330,7 @@ class TestRiemannianNormal:
         """dE[r]/dsigma via implicit reparameterization vs finite-difference
         quadrature of the true mean."""
         n_dim, c = 3, 1.0
-        ns = 200_000
+        ns = 60_000  # MC noise on the grad estimate ~0.4%/sqrt(ns/60k)
 
         def mean_r(sig):
             r = riemannian_normal.sample_radius(

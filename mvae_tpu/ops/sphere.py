@@ -79,25 +79,39 @@ def exp_map(x, u, k):
 
 def log_map(x, y, k):
     """Inverse of exp_x; stable as y -> x. Singular at the antipode
-    (measure zero); clamped there."""
+    (measure zero); bounded there.
+
+    The result's magnitude is enforced to be EXACTLY the geodesic distance
+    by normalizing the tangent direction, |v| = d * |u_dir|/|u_dir| <= d.
+    The previous ratio form d*sqrt(K)/sin(theta) * u_dir multiplied two
+    ill-conditioned near-zero factors; one f32 rounding near the antipode
+    (where u_dir -> 0 AND sin(theta) -> 0) produced |v| ~ 1e4 R and a
+    -1e8-scale garbage wrapped-normal log_q that training then exploited
+    as free ELBO (round-2 s6:wrapped blowup on TPU)."""
     kk = _kk(k)
     alpha = 1.0 - kk * _chord_sq(x, y) / 2.0  # cos(theta)
     u_dir = y - alpha * x
     d = distance(x, y, k)[..., None]
-    # |u_dir| = R sin(theta); ratio d/|u_dir| -> 1 as y -> x
-    sin_theta_sq = jnp.maximum(1.0 - alpha * alpha, stable.tiny(x.dtype))
-    ratio = d * jnp.sqrt(kk) / jnp.sqrt(sin_theta_sq)
-    return ratio * u_dir
+    # as y -> x: u_dir = (y-x) + O(chord^2), safe_norm well-conditioned;
+    # at the exact antipode u_dir ~ 0 and v degrades to ~0 (any bounded
+    # value is acceptable at this measure-zero singularity)
+    return d * u_dir / stable.safe_norm(u_dir, keepdims=True)
 
 
 def parallel_transport(x, y, u, k):
     """PT along the minimizing geodesic x -> y (x != -y):
-    u - K<y,u>/(1+alpha) (x+y)."""
+    u - K<y,u>/(1+alpha) (x+y).
+
+    PT is an isometry, so the output norm is pinned to the input norm; near
+    the antipode the guarded 0/0 form above can otherwise amplify rounding
+    into an arbitrarily long (or short) vector."""
     kk = _kk(k)
     alpha = 1.0 - kk * _chord_sq(x, y) / 2.0
     denom = jnp.maximum(1.0 + alpha, stable.eps(x.dtype))
     coef = kk * jnp.sum(y * u, axis=-1, keepdims=True) / denom
-    return u - coef * (x + y)
+    w = u - coef * (x + y)
+    return w * (stable.safe_norm(u, keepdims=True)
+                / stable.safe_norm(w, keepdims=True))
 
 
 # --- mu0-frame operations (wrapped-normal support) ---------------------------

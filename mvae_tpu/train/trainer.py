@@ -106,14 +106,25 @@ def _memoized(cache_key, build):
     return fn
 
 
+def _tc_key(tc: TrainConfig, fields: Sequence[str]):
+    """Only the TrainConfig fields a compiled program closes over belong in
+    its cache key — input dtypes/shapes are handled by jit retracing, and
+    fields like epochs/seed/checkpoint_every never enter the trace."""
+    return tuple(getattr(tc, f) for f in fields)
+
+
 def make_train_epoch(model_cfg: vae.VAEConfig, tc: TrainConfig, tx,
                      binarize: bool, steps_per_epoch: int, mesh=None):
     """Returns jitted fn: (params, opt_state, data, perm, step0, key) ->
     (params, opt_state, stats_means). One lax.scan = one epoch on device;
     with a mesh, every scanned batch is constrained batch-sharded over the
     'data' axis (params stay as placed: replicated or TP-sharded)."""
-    cache_key = ("train_epoch", model_cfg, tc, binarize, steps_per_epoch,
-                 mesh)
+    # traced constants: batch_size/burnin (shapes+mask), beta (loss), and
+    # lr/curvature_lr through the closed-over tx update rule
+    cache_key = ("train_epoch", model_cfg,
+                 _tc_key(tc, ("batch_size", "lr", "curvature_lr",
+                              "burnin_epochs", "beta")),
+                 binarize, steps_per_epoch, mesh)
     hit = _JIT_FACTORY_CACHE.get(cache_key)
     if hit is not None:
         return hit
@@ -184,7 +195,8 @@ def make_eval_elbo(model_cfg: vae.VAEConfig, tc: TrainConfig, binarize: bool):
         }
         return stats
 
-    return _memoized(("eval_elbo", model_cfg, tc, binarize),
+    return _memoized(("eval_elbo", model_cfg, _tc_key(tc, ("beta",)),
+                      binarize),
                      lambda: jax.jit(eval_batch_masked))
 
 
@@ -195,7 +207,9 @@ def make_eval_ll(model_cfg: vae.VAEConfig, tc: TrainConfig, binarize: bool):
         return vae.log_likelihood(k_model, model_cfg, params, x,
                                   tc.likelihood_n, tc.likelihood_chunk)
 
-    return _memoized(("eval_ll", model_cfg, tc, binarize),
+    return _memoized(("eval_ll", model_cfg,
+                      _tc_key(tc, ("likelihood_n", "likelihood_chunk")),
+                      binarize),
                      lambda: jax.jit(eval_batch))
 
 

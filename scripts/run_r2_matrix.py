@@ -44,12 +44,24 @@ def main():
     ap.add_argument("--epochs", type=int, default=5)
     ap.add_argument("--batch_size", type=int, default=256)
     ap.add_argument("--out", default="RESULTS_r2_matrix.json")
+    ap.add_argument("--only", default=None,
+                    help="comma-separated tag substrings: rerun just these "
+                         "configs and patch them into an existing --out file")
     args = ap.parse_args()
 
     from mvae_tpu.cli import main as cli_main
 
+    configs = CONFIGS
     rows = []
-    for tag, cli_args in CONFIGS:
+    if args.only:
+        pats = args.only.split(",")
+        configs = [(t, a) for t, a in CONFIGS
+                   if any(p in t for p in pats)]
+        out = Path(args.out)
+        if out.exists():
+            rows = [r for r in json.loads(out.read_text())
+                    if not any(p in r.get("tag", "") for p in pats)]
+    for tag, cli_args in configs:
         run_dir = f"runs/r2_matrix/{tag.replace('/', '_')}"
         full = cli_args + [
             "--epochs", str(args.epochs), "--batch_size",

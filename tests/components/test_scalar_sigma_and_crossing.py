@@ -49,8 +49,9 @@ class TestCurvatureCrossesZero:
         state = opt.init(k)
         crossed = False
         prev = float(k)
+        grad_fn = jax.jit(jax.grad(loss))  # compile once, 400 cheap steps
         for i in range(400):
-            g = jax.grad(loss)(k)
+            g = grad_fn(k)
             assert np.isfinite(float(g)), (i, float(k))
             upd, state = opt.update(g, state)
             k = optax.apply_updates(k, upd)
@@ -75,8 +76,9 @@ class TestUniversalComponentTraining:
             rep = reparametrize(jax.random.key(2), comp, p, feats)
             return jnp.mean(rep.kl)
 
+        grad_fn = jax.jit(jax.grad(kl_loss))  # one compile serves all k0
         for k0 in (1.0, 1e-4, 0.0, -1e-4, -1.0):
             p = dict(params)
             p["c_param"] = jnp.float32(k0)
-            g = jax.grad(kl_loss)(p)
+            g = grad_fn(p)
             assert np.isfinite(float(g["c_param"])), k0

@@ -181,6 +181,7 @@ class TestVonMisesFisher:
         est = jax.scipy.special.logsumexp(logq - logp) - np.log(n)
         np.testing.assert_allclose(np.exp(est), 1.0, rtol=0.08)
 
+    @pytest.mark.slow
     def test_kl_analytic_vs_mc(self):
         m, kappa = 5, 4.0
         n = 40_000
@@ -286,6 +287,68 @@ class TestWrappedNormalDeadBranchSafety:
             wrapped_normal.log_prob(man, z, mu, sig, k)), rtol=1e-10)
 
 
+class TestSphericalAntipode:
+    """Regression (round 2): a posterior sample that lands numerically AT
+    the antipode of mu (it happened on TPU at sigma ~ 1.5: z == -mu
+    bit-exactly) drove the old log_map ratio form to |v| ~ 1e4 and a
+    -1e8-scale garbage log_q, which training then exploited as free ELBO.
+    log_map's magnitude is now pinned to the geodesic distance, so every
+    wrapped-normal density stays bounded at the singularity."""
+
+    def test_log_map_magnitude_bounded(self):
+        F32 = jnp.float32
+        k = jnp.asarray(1.0, F32)
+        mu = sphere.project(jnp.asarray([[0.72, -0.32, -0.09, -0.25,
+                                          0.49, 0.03, -0.26]], F32), k)
+        z = -mu  # exact antipode
+        v = sphere.log_map(mu, z, k)
+        d = sphere.distance(mu, z, k)
+        assert float(jnp.linalg.norm(v, axis=-1)[0]) <= float(d[0]) + 1e-5
+        # nearly-antipodal: perturb by ~1e-7 (f32 resolution)
+        z2 = sphere.project(-mu + 1e-7, k)
+        v2 = sphere.log_map(mu, z2, k)
+        assert float(jnp.linalg.norm(v2, axis=-1)[0]) <= np.pi + 1e-5
+
+    def test_wrapped_log_prob_bounded_at_antipode(self):
+        F32 = jnp.float32
+        man = Manifold("s", 6)
+        k = jnp.asarray(1.0, F32)
+        mu = sphere.project(
+            jax.random.normal(key(3), (8, 7), F32), k)
+        sigma = jnp.asarray(1.5, F32)
+        for z in (-mu, sphere.project(-mu + 1e-7, k)):
+            lq = wrapped_normal.log_prob(man, z, mu, sigma, k)
+            lq0 = wrapped_normal.log_prob_mu0(man, z, jnp.asarray(1.0, F32),
+                                              k)
+            assert np.all(np.isfinite(np.asarray(lq)))
+            assert np.all(np.abs(np.asarray(lq)) < 500.0), np.asarray(lq)
+            assert np.all(np.abs(np.asarray(lq0)) < 500.0)
+
+    def test_parallel_transport_norm_preserved_near_antipode(self):
+        F32 = jnp.float32
+        k = jnp.asarray(1.0, F32)
+        x = sphere.project(jnp.asarray([[1.0, 0.2, -0.4, 0.1]], F32), k)
+        y = sphere.project(-x + 5e-7, k)
+        u = sphere.project_tangent(x, jnp.asarray([[0.3, -1.0, 0.2, 0.8]],
+                                                  F32), k)
+        w = sphere.parallel_transport(x, y, u, k)
+        np.testing.assert_allclose(np.linalg.norm(np.asarray(w)),
+                                   np.linalg.norm(np.asarray(u)), rtol=1e-5)
+
+    def test_large_sigma_training_kls_bounded(self):
+        """Many draws at the sigma scale that triggered the blowup: every
+        per-lane |KL| must stay physically plausible (no 1e8 outliers)."""
+        from mvae_tpu.components import parse_components, reparametrize
+        F32 = jnp.float32
+        (comp,) = parse_components("s6:wrapped")
+        params = comp.init_params(key(4), 16, dtype=F32)
+        feats = 2.0 * jax.random.normal(key(5), (4096, 16), F32)
+        rep = reparametrize(key(6), comp, params, feats)
+        kl = np.asarray(rep.kl)
+        assert np.all(np.isfinite(kl))
+        assert np.max(np.abs(kl)) < 1e3, np.max(np.abs(kl))
+
+
 class TestRiemannianNormal:
     @pytest.mark.parametrize("n,sigma,c", [(2, 0.5, 1.0), (3, 1.0, 1.0),
                                            (6, 0.7, 0.5), (2, 2.0, 2.0),
@@ -313,6 +376,31 @@ class TestRiemannianNormal:
                 F64(-c))[0])
             np.testing.assert_allclose(cdf, q, atol=0.02)
 
+    def test_small_sigma_no_cancellation_f32(self):
+        """Regression (round 2): at sigma*sqrt(c) ~ 0.05 the erfcx
+        binomial-sum closed form cancelled catastrophically in f32 (CDF
+        ~ -9e24, pdf ~ 1e25, NaN implicit grads that killed d6:riemannian
+        training on TPU). The quadrature form must stay accurate and
+        differentiable there."""
+        F32 = jnp.float32
+        n = 6
+        sig = jnp.asarray(np.linspace(0.02, 0.12, 16), F32)
+        k32 = jnp.asarray(-1.0, F32)
+        r = riemannian_normal.sample_radius(key(21), n, sig, k32)
+        F = riemannian_normal._radial_cdf(n, r, sig, k32)
+        assert np.all((np.asarray(F) >= 0) & (np.asarray(F) <= 1))
+        pdf = np.exp(np.asarray(
+            riemannian_normal._radial_log_pdf(n, r, sig, k32)))
+        assert np.all(np.isfinite(pdf)) and np.all(pdf < 1e4)
+        # f32 values against the f64 quadrature oracle at the same points
+        F_64 = riemannian_normal._radial_cdf(
+            n, r.astype(F64), sig.astype(F64), F64(-1.0))
+        np.testing.assert_allclose(np.asarray(F), np.asarray(F_64),
+                                   atol=2e-5)
+        g = jax.grad(lambda s: jnp.sum(riemannian_normal.sample_radius(
+            key(21), n, s, k32)))(sig)
+        assert np.all(np.isfinite(np.asarray(g)))
+
     def test_normalization_by_importance_sampling(self):
         man = Manifold("d", 3)
         k = F64(-1.0)
@@ -326,6 +414,7 @@ class TestRiemannianNormal:
         est = jax.scipy.special.logsumexp(logrn - logq) - np.log(nsamp)
         np.testing.assert_allclose(np.exp(est), 1.0, rtol=0.05)
 
+    @pytest.mark.slow
     def test_sigma_gradient_implicit(self):
         """dE[r]/dsigma via implicit reparameterization vs finite-difference
         quadrature of the true mean."""

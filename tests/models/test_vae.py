@@ -73,6 +73,7 @@ class TestElbo:
             jax.random.key(2), cfg, params, x)
         np.testing.assert_allclose(float(loss_e), float(loss_j), rtol=2e-5)
 
+    @pytest.mark.slow
     def test_grads_finite_all_geometries(self):
         cfg = make_cfg("e2,h2,d2,s2,p2,u2,s2:wrapped,d2:riemannian")
         params = init_params(jax.random.key(0), cfg)
@@ -94,13 +95,15 @@ class TestIwae:
         cfg = make_cfg("e3", h_dim=16, data_shape=(12,))
         params = init_params(jax.random.key(0), cfg)
         x = make_batch(jax.random.key(1), cfg, n=16)
+        elbo_fn = jax.jit(lambda k, p, xx: elbo(k, cfg, p, xx)[0])
+        ll_fn = jax.jit(lambda k, p, xx: log_likelihood(
+            k, cfg, p, xx, n_samples=100, chunk_size=20))
         elbos, lls = [], []
         for i in range(10):
-            v, _ = elbo(jax.random.key(10 + i), cfg, params, x)
-            elbos.append(np.mean(np.asarray(v)))
-            ll = log_likelihood(jax.random.key(100 + i), cfg, params, x,
-                                n_samples=100, chunk_size=20)
-            lls.append(np.mean(np.asarray(ll)))
+            elbos.append(np.mean(np.asarray(
+                elbo_fn(jax.random.key(10 + i), params, x))))
+            lls.append(np.mean(np.asarray(
+                ll_fn(jax.random.key(100 + i), params, x))))
         assert np.mean(lls) >= np.mean(elbos) - 0.05
 
     def test_iwae_converges_to_true_ll(self):
@@ -113,9 +116,10 @@ class TestIwae:
         x = make_batch(jax.random.key(1), cfg, n=4)
         est = {}
         for n in (10, 100, 1000):
-            vals = [np.mean(np.asarray(log_likelihood(
-                jax.random.key(7 * i + n), cfg, params, x, n_samples=n,
-                chunk_size=10))) for i in range(5)]
+            ll_fn = jax.jit(lambda k, n=n: log_likelihood(
+                k, cfg, params, x, n_samples=n, chunk_size=10))
+            vals = [np.mean(np.asarray(ll_fn(jax.random.key(7 * i + n))))
+                    for i in range(5)]
             est[n] = np.mean(vals)
         assert est[100] >= est[10] - 0.02
         assert est[1000] >= est[100] - 0.02
@@ -134,6 +138,7 @@ class TestIwae:
 
 
 class TestBf16:
+    @pytest.mark.slow
     def test_bf16_forward_and_iwae_precision(self):
         """bf16 params/activations with f32 log-prob accumulation: the IWAE
         estimate must be close to the f32 one, not quantized to whole
@@ -155,6 +160,7 @@ class TestBf16:
         assert not np.allclose(np.asarray(ll16),
                                np.round(np.asarray(ll16)))
 
+    @pytest.mark.slow
     def test_bf16_grads_finite(self):
         cfg = make_cfg("e2,h2,s2,u2", h_dim=16)
         params = init_params(jax.random.key(0), cfg, dtype=jnp.bfloat16)

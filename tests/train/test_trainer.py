@@ -146,6 +146,7 @@ class TestTrainer:
 
 
 class TestMeshTrainer:
+    @pytest.mark.slow
     def test_mesh_training_matches_loss_decrease(self, tmp_path):
         """Full Trainer over a (2,2) mesh on the virtual CPU devices: DP+TP
         sharded epochs train and improve the ELBO."""

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from mvae_tpu.components import parse_components
 from mvae_tpu.models import VAEConfig, init_params, loss_fn
@@ -89,6 +90,8 @@ class TestGraftEntry:
         out = jax.jit(fn)(*args)
         assert np.isfinite(float(out))
 
+    @pytest.mark.slow  # the driver runs this directly; the subprocess
+    # variant (test_graft_entry.py, also slow) covers the env hardening
     def test_dryrun_8(self):
         from __graft_entry__ import dryrun_multichip
         dryrun_multichip(8)

@@ -101,8 +101,19 @@ def _log_prob_from_principal(man, v, sigma, k, wraps: int):
     period = (2.0 * math.pi
               / jnp.sqrt(jnp.maximum(k, _K_FLOOR))).astype(dtype)
     # smallest sigma across dims bounds the largest per-dim z-score
-    sig_min = jnp.min(jnp.broadcast_to(sigma, v.shape), axis=-1,
-                      keepdims=True)
+    sig_b = jnp.broadcast_to(sigma, v.shape)
+    sig_min = jnp.min(sig_b, axis=-1, keepdims=True)
+
+    # every branch shares the unit direction v_hat, so the n-dim Gaussian
+    # term factorizes to SCALAR math in the branch radius:
+    #   log N(rb v_hat; 0, sigma) = -rb^2/2 * sum((v_hat/sigma)^2) + const.
+    # One n-dim pass here; each wrap image then costs a handful of scalar
+    # ops (was: a full n-dim log_prob per branch — the dominant cost of
+    # the s/p/u hot path, 5 branches at wraps=2).
+    acc = jnp.float32 if dtype == jnp.bfloat16 else dtype
+    quad = jnp.sum((v_hat / sig_b) ** 2, axis=-1, keepdims=True, dtype=acc)
+    const = (-jnp.sum(jnp.log(sig_b), axis=-1, dtype=acc)
+             - 0.5 * n * math.log(2.0 * math.pi))
 
     branches = [r]                         # principal, always live
     for m in range(1, wraps + 1):          # m-th image PAIR (signed radii)
@@ -119,9 +130,8 @@ def _log_prob_from_principal(man, v, sigma, k, wraps: int):
             # sanitized-where trick) and mask them out of the logsumexp
             live = (k > 0) & (jnp.abs(rb_raw) < _ZSCORE_CAP * sig_min)
             rb = jnp.where(live, rb_raw, r)
-        vb = rb * v_hat
         rb_abs = jnp.abs(rb).squeeze(-1)
-        logn = normal.log_prob(vb, zero, sigma)
+        logn = -0.5 * (rb * rb * quad).squeeze(-1).astype(acc) + const
         logdet = (n - 1) * _log_abs_sindiv_k(rb_abs, k)
         logp = logn - logdet
         if live is not None:

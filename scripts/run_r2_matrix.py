@@ -36,6 +36,13 @@ CONFIGS = [
     ("u6-learnK-conv/cifar", ["--dataset", "cifar", "--model", "u6",
                               "--fixed_curvature", "False"]),
     ("h4/bdp", ["--dataset", "bdp", "--model", "h4"]),
+    # paper-style product table extensions (multiplier-prefix DSL)
+    ("3h2-learnK/mnist", ["--dataset", "mnist", "--model", "3h2",
+                          "--fixed_curvature", "False"]),
+    ("3s2-learnK/mnist", ["--dataset", "mnist", "--model", "3s2",
+                          "--fixed_curvature", "False"]),
+    ("d2p2e2-learnK/mnist", ["--dataset", "mnist", "--model", "d2,p2,e2",
+                             "--fixed_curvature", "False"]),
 ]
 
 

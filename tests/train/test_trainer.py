@@ -196,6 +196,25 @@ class TestCli:
         assert result["eval_only"] and result["step"] > 0
         assert np.isfinite(result["test/log_likelihood_iwae"])
 
+    def test_cli_resume(self, tmp_path):
+        """--resume restores step/params and continues training."""
+        from mvae_tpu.cli import main
+        run_dir = str(tmp_path / "res_run")
+        base = ["--dataset", "bdp", "--model", "e2", "--batch_size", "32",
+                "--h_dim", "16", "--likelihood_n", "20", "--run_dir", run_dir]
+        import json as _json
+
+        def last_step():
+            return max(_json.loads(l)["step"]
+                       for l in open(f"{run_dir}/metrics.jsonl"))
+
+        main(base + ["--epochs", "1"])
+        step1 = last_step()
+        assert step1 > 0
+        r2 = main(base + ["--epochs", "1", "--resume"])
+        assert last_step() == 2 * step1  # continued, not restarted
+        assert np.isfinite(r2["test/log_likelihood_iwae"])
+
     def test_cli_bad_spec(self):
         from mvae_tpu.cli import main
         with pytest.raises(ValueError):

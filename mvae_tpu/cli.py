@@ -71,6 +71,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint_every", type=int, default=0)
     p.add_argument("--ll_max_examples", type=int, default=None,
                    help="cap IWAE eval set size (speed)")
+    p.add_argument("--ll_repeats", type=int, default=1,
+                   help="average the final IWAE LL over N independent eval "
+                        "passes (one pass has ~0.1-nat binarization noise; "
+                        "use >=4 for sub-0.1-nat comparisons)")
     p.add_argument("--mesh", default=None,
                    help="device mesh 'DATA,MODEL' (e.g. '4,2'); default "
                         "single device")
@@ -125,7 +129,7 @@ def main(argv=None):
     if args.eval_only:
         trainer.restore_checkpoint()
         ll = trainer.evaluate_log_likelihood(
-            max_examples=args.ll_max_examples)
+            max_examples=args.ll_max_examples, repeats=args.ll_repeats)
         result = {f"test/log_likelihood_iwae": ll,
                   "step": int(trainer.step), "eval_only": True}
         print(json.dumps(result))
@@ -134,7 +138,8 @@ def main(argv=None):
         trainer.restore_checkpoint()
         print(f"resumed at step {int(trainer.step)}")
     result = trainer.fit(ll_max_examples=args.ll_max_examples,
-                         profile_epochs=args.profile_epochs)
+                         profile_epochs=args.profile_epochs,
+                         ll_repeats=args.ll_repeats)
 
     summary = {k: v for k, v in result.items() if k != "history"}
     Path(run_dir).mkdir(parents=True, exist_ok=True)

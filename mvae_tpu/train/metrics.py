@@ -30,6 +30,9 @@ class MetricsLogger:
         rec = {"step": int(step), "time": time.time()}
         for k, v in scalars.items():
             key = f"{prefix}{k}" if prefix else k
+            if isinstance(v, (list, tuple)):
+                rec[key] = [float(x) for x in v]
+                continue  # sequences go to JSONL only, not TB scalars
             rec[key] = float(v)
             if self._tb is not None:
                 self._tb.add_scalar(key, float(v), step)

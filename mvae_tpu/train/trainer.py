@@ -303,10 +303,27 @@ class Trainer:
         return es.means()
 
     def evaluate_log_likelihood(self, split: str = "test",
-                                max_examples: int | None = None) -> float:
+                                max_examples: int | None = None,
+                                repeats: int = 1) -> float:
         """Mean IWAE LL over the FULL split: the tail batch is padded up to
         the batch shape (one compiled shape) and masked out of the mean —
-        no silently dropped examples in the headline metric."""
+        no silently dropped examples in the headline metric.
+
+        ``repeats`` > 1 averages over that many independent evaluation
+        passes (fresh dynamic-binarization + IWAE draws each pass). One
+        pass has ~0.1-nat std on MNIST-size splits — dominated by the
+        test-set binarization realization, not the IWAE-500 weights — so
+        sub-0.1-nat comparisons need repeats (std shrinks as 1/sqrt(R));
+        the per-pass values are logged for the record."""
+        if repeats > 1:
+            vals = [self.evaluate_log_likelihood(split, max_examples)
+                    for _ in range(repeats)]
+            self.logger.log(int(self.step), {
+                f"{split}/log_likelihood_iwae_repeats": vals,
+                f"{split}/log_likelihood_iwae_std":
+                    float(np.std(np.asarray(vals))),
+            })
+            return float(np.mean(np.asarray(vals)))
         data = self._test_data if split == "test" else self._train_data
         if max_examples:
             data = data[:max_examples]
@@ -327,7 +344,8 @@ class Trainer:
 
     def fit(self, verbose: bool = True,
             ll_max_examples: int | None = None,
-            profile_epochs: int = 0) -> dict:
+            profile_epochs: int = 0,
+            ll_repeats: int = 1) -> dict:
         t0 = time.time()
         for epoch in range(self.tc.epochs):
             if profile_epochs and epoch == 0:
@@ -347,7 +365,8 @@ class Trainer:
             if (self.tc.checkpoint_every
                     and (epoch + 1) % self.tc.checkpoint_every == 0):
                 self.save_checkpoint()
-        ll = self.evaluate_log_likelihood("test", max_examples=ll_max_examples)
+        ll = self.evaluate_log_likelihood("test", max_examples=ll_max_examples,
+                                          repeats=ll_repeats)
         wall = time.time() - t0
         final = {"test/log_likelihood_iwae": ll, "wall_seconds": wall,
                  "steps_per_sec": float(self.step) / max(wall, 1e-9)}

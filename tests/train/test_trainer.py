@@ -124,6 +124,23 @@ class TestTrainer:
         s2 = tr.evaluate_elbo()
         assert abs(s1["elbo"] - s2["elbo"]) > 1e-4
 
+    def test_ll_repeats_averaging(self, tmp_path):
+        """repeats>1 averages independent eval passes and logs the std —
+        needed because a single dynamically-binarized IWAE pass has
+        ~0.1-nat noise on MNIST-size splits."""
+        import json as _json
+        tr = make_trainer(tmp_path, epochs=1)
+        tr.train_one_epoch(0)
+        ll = tr.evaluate_log_likelihood(repeats=3)
+        assert np.isfinite(ll)
+        recs = [_json.loads(l) for l in
+                open(tmp_path / "run" / "metrics.jsonl")]
+        rep_rec = [r for r in recs if "test/log_likelihood_iwae_std" in r]
+        assert rep_rec and len(
+            rep_rec[-1]["test/log_likelihood_iwae_repeats"]) == 3
+        assert abs(np.mean(rep_rec[-1]["test/log_likelihood_iwae_repeats"])
+                   - ll) < 1e-6
+
     def test_checkpoint_resume(self, tmp_path):
         tr = make_trainer(tmp_path, epochs=2)
         tr.train_one_epoch(0)

@@ -68,6 +68,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--eval_only", action="store_true",
                    help="restore the latest checkpoint and only compute the "
                         "IWAE marginal LL (no training)")
+    p.add_argument("--generate", type=int, default=0, metavar="N",
+                   help="after training (or with --eval_only, from the "
+                        "checkpoint) write N prior samples and N test-set "
+                        "reconstructions to <run_dir>/samples.npz")
     p.add_argument("--checkpoint_every", type=int, default=0)
     p.add_argument("--ll_max_examples", type=int, default=None,
                    help="cap IWAE eval set size (speed)")
@@ -126,10 +130,28 @@ def main(argv=None):
         enable_nan_guard()
 
     trainer = Trainer(model_cfg, dataset, tc, run_dir)
+
+    def write_samples(n):
+        """N prior samples + N test reconstructions -> run_dir/samples.npz."""
+        import jax
+        import numpy as np
+        from .models import vae
+        k1, k2 = jax.random.split(jax.random.key(tc.seed + 777))
+        gen = vae.generate(k1, model_cfg, trainer.params, n)
+        x = trainer._test_data[:n]
+        rec = vae.reconstruct(k2, model_cfg, trainer.params, x)
+        path = Path(run_dir) / "samples.npz"
+        np.savez_compressed(path, generated=np.asarray(gen),
+                            originals=np.asarray(x),
+                            reconstructions=np.asarray(rec))
+        print(f"wrote {path} (generated/originals/reconstructions x{n})")
+
     if args.eval_only:
         trainer.restore_checkpoint()
         ll = trainer.evaluate_log_likelihood(
             max_examples=args.ll_max_examples, repeats=args.ll_repeats)
+        if args.generate:
+            write_samples(args.generate)
         result = {f"test/log_likelihood_iwae": ll,
                   "step": int(trainer.step), "eval_only": True}
         print(json.dumps(result))
@@ -140,6 +162,8 @@ def main(argv=None):
     result = trainer.fit(ll_max_examples=args.ll_max_examples,
                          profile_epochs=args.profile_epochs,
                          ll_repeats=args.ll_repeats)
+    if args.generate:
+        write_samples(args.generate)
 
     summary = {k: v for k, v in result.items() if k != "history"}
     Path(run_dir).mkdir(parents=True, exist_ok=True)

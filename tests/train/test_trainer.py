@@ -232,6 +232,17 @@ class TestCli:
         assert last_step() == 2 * step1  # continued, not restarted
         assert np.isfinite(r2["test/log_likelihood_iwae"])
 
+    def test_cli_generate(self, tmp_path):
+        from mvae_tpu.cli import main
+        run_dir = str(tmp_path / "gen_run")
+        main(["--dataset", "bdp", "--model", "e2", "--epochs", "1",
+              "--batch_size", "32", "--h_dim", "16", "--likelihood_n", "20",
+              "--generate", "8", "--run_dir", run_dir])
+        with np.load(f"{run_dir}/samples.npz") as d:
+            assert d["generated"].shape[0] == 8
+            assert d["reconstructions"].shape == d["originals"].shape
+            assert np.all((d["generated"] >= 0) & (d["generated"] <= 1))
+
     def test_cli_bad_spec(self):
         from mvae_tpu.cli import main
         with pytest.raises(ValueError):

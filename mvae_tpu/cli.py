@@ -132,13 +132,19 @@ def main(argv=None):
     trainer = Trainer(model_cfg, dataset, tc, run_dir)
 
     def write_samples(n):
-        """N prior samples + N test reconstructions -> run_dir/samples.npz."""
+        """N prior samples + N test reconstructions -> run_dir/samples.npz.
+
+        Reconstruction inputs go through the dataset's binarization first —
+        the model only ever sees binarized pixels in training/eval, so the
+        artifact must reflect that input distribution (and `originals` are
+        the actual encoder inputs)."""
         import jax
         import numpy as np
+        from .data import binarize_batch
         from .models import vae
-        k1, k2 = jax.random.split(jax.random.key(tc.seed + 777))
+        k1, k2, kb = jax.random.split(jax.random.key(tc.seed + 777), 3)
         gen = vae.generate(k1, model_cfg, trainer.params, n)
-        x = trainer._test_data[:n]
+        x = binarize_batch(kb, trainer._test_data[:n], dataset.binarize)
         rec = vae.reconstruct(k2, model_cfg, trainer.params, x)
         path = Path(run_dir) / "samples.npz"
         np.savez_compressed(path, generated=np.asarray(gen),

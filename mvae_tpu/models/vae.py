@@ -211,7 +211,7 @@ def _fused_decoder_eligible(cfg: VAEConfig, params) -> bool:
 
 
 def log_likelihood(key, cfg: VAEConfig, params, x, n_samples: int = 500,
-                   chunk_size: int = 20):
+                   chunk_size: int = 20, allow_fused: bool = True):
     """IWAE marginal log-likelihood estimate per example (SURVEY.md §3.3).
 
     log p(x) ~= logsumexp_i [log p(x|z_i) + log p(z_i) - log q(z_i|x)] - log n
@@ -227,7 +227,10 @@ def log_likelihood(key, cfg: VAEConfig, params, x, n_samples: int = 500,
     pass, whose ~1-nat per-sample log p(x|z) error the 0.1-nat IWAE
     reproduction target cannot absorb.
     """
-    fused = _fused_decoder_eligible(cfg, params)
+    # allow_fused=False lets callers opt out where pallas_call can't run —
+    # e.g. TP-sharded decoder weights (GSPMD has no partitioning rule for
+    # the kernel); the Trainer passes mesh is None
+    fused = allow_fused and _fused_decoder_eligible(cfg, params)
     if fused:
         # the fused kernel never materializes logits, so the memory bound
         # behind small chunks is gone: use the largest divisor <= 128 as
@@ -288,6 +291,7 @@ def generate(key, cfg: VAEConfig, params, n: int, dtype=jnp.float32):
 
 
 def reconstruct(key, cfg: VAEConfig, params, x):
-    fwd = forward(key, cfg, params, x)
-    logits = decode(cfg, params, fwd.z)
-    return jax.nn.sigmoid(logits)
+    """encode -> posterior draw -> one decode (no BCE/log-prob work)."""
+    feats = encode(cfg, params, x)
+    z, *_ = _reparam_components(key, cfg, params, feats)
+    return jax.nn.sigmoid(decode(cfg, params, z))

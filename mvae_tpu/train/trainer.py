@@ -125,9 +125,6 @@ def make_train_epoch(model_cfg: vae.VAEConfig, tc: TrainConfig, tx,
                  _tc_key(tc, ("batch_size", "lr", "curvature_lr",
                               "burnin_epochs", "beta")),
                  binarize, steps_per_epoch, mesh)
-    hit = _JIT_FACTORY_CACHE.get(cache_key)
-    if hit is not None:
-        return hit
 
     burnin_steps = tc.burnin_epochs * steps_per_epoch
 
@@ -171,9 +168,8 @@ def make_train_epoch(model_cfg: vae.VAEConfig, tc: TrainConfig, tx,
         stats_means["curvature"] = stats_seq["curvature"][-1]
         return params, opt_state, step, stats_means
 
-    fn = jax.jit(train_epoch, donate_argnums=(0, 1))
-    _JIT_FACTORY_CACHE[cache_key] = fn
-    return fn
+    return _memoized(cache_key,
+                     lambda: jax.jit(train_epoch, donate_argnums=(0, 1)))
 
 
 def make_eval_elbo(model_cfg: vae.VAEConfig, tc: TrainConfig, binarize: bool):
@@ -200,16 +196,25 @@ def make_eval_elbo(model_cfg: vae.VAEConfig, tc: TrainConfig, binarize: bool):
                      lambda: jax.jit(eval_batch_masked))
 
 
-def make_eval_ll(model_cfg: vae.VAEConfig, tc: TrainConfig, binarize: bool):
+def make_eval_ll(model_cfg: vae.VAEConfig, tc: TrainConfig, binarize: bool,
+                 allow_fused: bool = True):
     def eval_batch(params, x, key):
         k_bin, k_model = jax.random.split(key)
         x = binarize_batch(k_bin, x, binarize)
         return vae.log_likelihood(k_model, model_cfg, params, x,
-                                  tc.likelihood_n, tc.likelihood_chunk)
+                                  tc.likelihood_n, tc.likelihood_chunk,
+                                  allow_fused=allow_fused)
 
+    # the fused-vs-jnp routing is resolved at trace time from env+backend
+    # (kernels/decoder_kernels.use_fused_decoder), so it must be part of
+    # the cache key — otherwise flipping MVAE_FUSED_DECODER between two
+    # Trainer builds would silently reuse the other path's executable
+    from ..kernels import decoder_kernels
     return _memoized(("eval_ll", model_cfg,
                       _tc_key(tc, ("likelihood_n", "likelihood_chunk")),
-                      binarize),
+                      binarize, allow_fused,
+                      decoder_kernels.use_fused_decoder(),
+                      jax.default_backend()),
                      lambda: jax.jit(eval_batch))
 
 
@@ -248,7 +253,8 @@ class Trainer:
                                              dataset.binarize,
                                              self.steps_per_epoch, self.mesh)
         self._eval_elbo = make_eval_elbo(model_cfg, tc, dataset.binarize)
-        self._eval_ll = make_eval_ll(model_cfg, tc, dataset.binarize)
+        self._eval_ll = make_eval_ll(model_cfg, tc, dataset.binarize,
+                                     allow_fused=self.mesh is None)
 
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P

@@ -376,6 +376,29 @@ class TestRiemannianNormal:
                 F64(-c))[0])
             np.testing.assert_allclose(cdf, q, atol=0.02)
 
+    @pytest.mark.parametrize("n,sigma", [(150, 0.05), (200, 0.7),
+                                         (500, 0.7)])
+    def test_log_partition_large_dim(self, n, sigma):
+        """Regression (round-2 review): the additive mode ESTIMATE for the
+        quadrature window overshot the true radial mode by ~sigma*sqrt(n),
+        silently dropping the density peak for n >~ 144 (-4 nats at
+        n=200). The window now bisects the exact mode."""
+        c = 1.0
+        r = np.linspace(1e-8, (n - 1) * sigma ** 2
+                        + sigma * (np.sqrt(n) + 40), 400_000)
+        # log-space oracle (avoids sinh overflow): log sinh x = x +
+        # log1p(-exp(-2x)) - log 2
+        logsinh = r + np.log1p(-np.exp(-2 * r)) - np.log(2.0)
+        logw = -r ** 2 / (2 * sigma ** 2) + (n - 1) * logsinh
+        M = logw.max()
+        import math as _m
+        area = (_m.log(2.0) + (n / 2) * _m.log(_m.pi)
+                - _m.lgamma(n / 2))
+        oracle = area + M + np.log(np.trapezoid(np.exp(logw - M), r))
+        got = float(riemannian_normal.log_partition(
+            n, jnp.asarray([sigma], F64), F64(-c))[0])
+        np.testing.assert_allclose(got, oracle, rtol=1e-9)
+
     def test_small_sigma_no_cancellation_f32(self):
         """Regression (round 2): at sigma*sqrt(c) ~ 0.05 the erfcx
         binomial-sum closed form cancelled catastrophically in f32 (CDF

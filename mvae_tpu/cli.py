@@ -75,6 +75,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint_every", type=int, default=0)
     p.add_argument("--ll_max_examples", type=int, default=None,
                    help="cap IWAE eval set size (speed)")
+    p.add_argument("--eval_binarize", default="dynamic",
+                   choices=["dynamic", "fixed"],
+                   help="'fixed' pins one deterministic binarization per "
+                        "test example so repeated evals measure pure IWAE "
+                        "noise (sub-0.1-nat comparisons)")
     p.add_argument("--ll_repeats", type=int, default=1,
                    help="average the final IWAE LL over N independent eval "
                         "passes (one pass has ~0.1-nat binarization noise; "
@@ -116,7 +121,7 @@ def main(argv=None):
                      seed=args.seed, likelihood_n=args.likelihood_n,
                      checkpoint_every=args.checkpoint_every,
                      dtype=args.dtype, mesh_shape=mesh_shape,
-                     init_k=args.init_k)
+                     init_k=args.init_k, eval_binarize=args.eval_binarize)
     run_dir = args.run_dir or (
         f"runs/{args.dataset}_{args.model.replace(',', '-').replace(':', '.')}"
         f"_{'fixed' if args.fixed_curvature else 'learn'}_s{args.seed}")

@@ -48,6 +48,11 @@ class TrainConfig:
     likelihood_chunk: int = 20
     eval_batch_size: int = 512
     checkpoint_every: int = 0      # epochs; 0 = only at the end
+    # "dynamic": fresh Bernoulli pixels per eval pass (reference protocol;
+    # ~0.1-nat noise per full-split IWAE pass on MNIST). "fixed": one
+    # deterministic binarization per test example (seeded by `seed`), so
+    # repeated evals measure pure IWAE noise — for sub-0.1-nat comparisons
+    eval_binarize: str = "dynamic"
     dtype: str = "float32"
     init_k: float = 1.0            # initial |curvature| per component
     # (data, model) mesh shape; None = single device. Batch must divide by
@@ -175,8 +180,7 @@ def make_train_epoch(model_cfg: vae.VAEConfig, tc: TrainConfig, tx,
 def make_eval_elbo(model_cfg: vae.VAEConfig, tc: TrainConfig, binarize: bool):
     """Masked eval: `mask` (B,) of 0/1 marks valid rows, so a padded tail
     batch contributes exact means over its real examples only."""
-    def eval_batch_masked(params, x, mask, key):
-        k_bin, k_model = jax.random.split(key)
+    def eval_batch_masked(params, x, mask, k_bin, k_model):
         x = binarize_batch(k_bin, x, binarize)
         fwd = vae.forward(k_model, model_cfg, params, x)
         kl_total = jnp.sum(fwd.kl_per_comp, axis=-1)
@@ -198,8 +202,7 @@ def make_eval_elbo(model_cfg: vae.VAEConfig, tc: TrainConfig, binarize: bool):
 
 def make_eval_ll(model_cfg: vae.VAEConfig, tc: TrainConfig, binarize: bool,
                  allow_fused: bool = True):
-    def eval_batch(params, x, key):
-        k_bin, k_model = jax.random.split(key)
+    def eval_batch(params, x, k_bin, k_model):
         x = binarize_batch(k_bin, x, binarize)
         return vae.log_likelihood(k_model, model_cfg, params, x,
                                   tc.likelihood_n, tc.likelihood_chunk,
@@ -284,6 +287,19 @@ class Trainer:
         es.update(jax.tree.map(np.asarray, stats))
         return es.means()
 
+    def _eval_keys(self, batch_index: int):
+        """(k_bin, k_model) for one eval batch. k_model always advances the
+        session chain; k_bin matches it ("dynamic") or is a pure function
+        of (seed, batch index) ("fixed") so every eval pass sees the SAME
+        binarized test set."""
+        self.key, k_model = jax.random.split(self.key)
+        if self.tc.eval_binarize == "fixed":
+            k_bin = jax.random.fold_in(
+                jax.random.key(0xB1A ^ self.tc.seed), batch_index)
+        else:
+            self.key, k_bin = jax.random.split(self.key)
+        return k_bin, k_model
+
     def evaluate_elbo(self, split: str = "test") -> dict:
         """Masked-mean test ELBO over the FULL split: the tail batch is
         padded to the compiled batch shape and its padding masked out, and
@@ -303,8 +319,8 @@ class Trainer:
                 mask = (jnp.arange(bs) < n_valid).astype(jnp.float32)
             else:
                 mask = ones
-            self.key, k = jax.random.split(self.key)
-            stats = self._eval_elbo(self.params, batch, mask, k)
+            k_bin, k_model = self._eval_keys(b // bs)
+            stats = self._eval_elbo(self.params, batch, mask, k_bin, k_model)
             es.update(jax.tree.map(np.asarray, stats), weight=n_valid)
         return es.means()
 
@@ -342,8 +358,9 @@ class Trainer:
                 pad = jnp.broadcast_to(batch[:1],
                                        (bs - n_valid,) + batch.shape[1:])
                 batch = jnp.concatenate([batch, pad])
-            self.key, k = jax.random.split(self.key)
-            ll = np.asarray(self._eval_ll(self.params, batch, k))
+            k_bin, k_model = self._eval_keys(b // bs)
+            ll = np.asarray(self._eval_ll(self.params, batch, k_bin,
+                                          k_model))
             total += float(ll[:n_valid].sum())
             count += n_valid
         return total / max(count, 1)

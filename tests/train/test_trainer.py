@@ -141,6 +141,25 @@ class TestTrainer:
         assert abs(np.mean(rep_rec[-1]["test/log_likelihood_iwae_repeats"])
                    - ll) < 1e-6
 
+    def test_fixed_eval_binarization_keys(self, tmp_path):
+        """eval_binarize='fixed': the binarization key is a pure function
+        of (seed, batch index) — identical across passes — while the model
+        key keeps advancing (fresh IWAE draws)."""
+        tr = make_trainer(tmp_path, epochs=1, eval_binarize="fixed")
+        kb1, km1 = tr._eval_keys(3)
+        kb2, km2 = tr._eval_keys(3)
+        assert jax.random.key_data(kb1).tolist() == \
+            jax.random.key_data(kb2).tolist()
+        assert jax.random.key_data(km1).tolist() != \
+            jax.random.key_data(km2).tolist()
+        assert np.isfinite(tr.evaluate_log_likelihood())
+        # dynamic mode: binarization key changes too
+        tr2 = make_trainer(tmp_path / "dyn", epochs=1)
+        kb1, _ = tr2._eval_keys(3)
+        kb2, _ = tr2._eval_keys(3)
+        assert jax.random.key_data(kb1).tolist() != \
+            jax.random.key_data(kb2).tolist()
+
     def test_checkpoint_resume(self, tmp_path):
         tr = make_trainer(tmp_path, epochs=2)
         tr.train_one_epoch(0)

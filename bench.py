@@ -25,7 +25,12 @@ import jax.numpy as jnp
 BATCH = 1024
 DATA_DIM = 784
 H_DIM = 400
-SCAN_STEPS = 500
+# one measured "chunk" = one jitted scan of this many steps. Training runs
+# whole epochs (hundreds to thousands of steps) as ONE scan, so the honest
+# steady-state number needs the axon per-call dispatch+readback (~26-33 ms
+# measured) amortized the same way: at 500 steps it was still ~30% of the
+# measurement; at 2000 it is <10%.
+SCAN_STEPS = 2000
 REPEATS = 3
 
 

@@ -144,7 +144,6 @@ def main():
         params_b = init_params(jax.random.key(0), cfg_b)
         tx_b = make_optimizer(params_b, tc)
         opt_b = tx_b.init(params_b)
-        _nets.set_bf16_matmul(True)
 
         def one_step_b(carry, step_key, cfg=cfg_b, tx=tx_b):
             params, opt_state, intens = carry
@@ -165,14 +164,19 @@ def main():
                 one_step_b, (params, opt_state, intens), keys)
             return params, opt_state, losses[-1]
 
-        params_b, opt_b, lb = run_b(params_b, opt_b, intensities,
-                                    jax.random.key(5))
-        float(lb)
-        t0 = time.time()
-        params_b, opt_b, lb = run_b(params_b, opt_b, intensities,
-                                    jax.random.key(6))
-        lb = float(lb)
-        _nets.set_bf16_matmul(False)
+        # try/finally: an exception mid-measurement (e.g. OOM at h_dim
+        # 1024) must not leave the process-global bf16 flag flipped on
+        _nets.set_bf16_matmul(True)
+        try:
+            params_b, opt_b, lb = run_b(params_b, opt_b, intensities,
+                                        jax.random.key(5))
+            float(lb)
+            t0 = time.time()
+            params_b, opt_b, lb = run_b(params_b, opt_b, intensities,
+                                        jax.random.key(6))
+            lb = float(lb)
+        finally:
+            _nets.set_bf16_matmul(False)
         bf16[hd] = SCAN_STEPS / (time.time() - t0)
         log(f"bf16-matmul h_dim={hd}: {bf16[hd]:.1f} steps/s "
             f"(loss {lb:.2f} finite={bool(jnp.isfinite(lb))})")

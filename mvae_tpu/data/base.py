@@ -85,6 +85,22 @@ def binarize_batch(key, batch, enabled: bool):
     return (u < batch).astype(batch.dtype)
 
 
+def binarize_rows(row_keys, batch, enabled: bool):
+    """Per-ROW binarization: row i of ``batch`` uses ``row_keys[i]``.
+
+    The eval paths use this so a pinned ("fixed") binarization is a pure
+    function of (seed, global example index) — INDEPENDENT of the eval
+    batch size. Keying per batch instead (round-2) silently re-binarized
+    the whole test set whenever eval_batch_size changed, which is exactly
+    the instrument drift a sub-0.1-nat comparison must exclude."""
+    if not enabled:
+        return batch
+    u = jax.vmap(
+        lambda k, row: jax.random.uniform(k, row.shape, dtype=row.dtype))(
+            row_keys, batch)
+    return (u < batch).astype(batch.dtype)
+
+
 def to_device_dataset(ds: ArrayDataset, dtype=jnp.float32):
     """Puts both splits in HBM once; returns (train, test) device arrays."""
     return (jnp.asarray(ds.train, dtype), jnp.asarray(ds.test, dtype))

@@ -1,7 +1,9 @@
 """Pallas TPU kernels (native compute path) with jnp fallbacks."""
-from .decoder_kernels import fused_decode_bce, use_fused_decoder
+from .decoder_kernels import (fused_decode_bce, fused_decode_bce_t,
+                              use_fused_decoder)
 from .manifold_kernels import (lorentz_distance, stereo_distance, use_pallas,
-                               wrapped_sample_stereo)
+                               use_fused_reparam, wrapped_reparam_stereo_t)
 
-__all__ = ["stereo_distance", "lorentz_distance", "wrapped_sample_stereo",
-           "use_pallas", "fused_decode_bce", "use_fused_decoder"]
+__all__ = ["stereo_distance", "lorentz_distance", "wrapped_reparam_stereo_t",
+           "use_pallas", "use_fused_reparam", "fused_decode_bce",
+           "fused_decode_bce_t", "use_fused_decoder"]

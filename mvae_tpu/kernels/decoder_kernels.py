@@ -47,7 +47,23 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BLOCK_C = 512  # batch lanes per tile; VMEM budget ~8 MB at D=784, H=400
+BLOCK_C = 512  # max batch lanes per tile (hardware-validated at D=784, H=400)
+
+# VMEM working-set proxy, in bytes, calibrated so the hardware-validated
+# (Z=8, H=400, D=784, block=512) configuration sits exactly at the budget:
+# weights 2x(hi+lo) bf16 + double-buffered per-lane tiles (x, h + its bf16
+# splits, logits + bce term). Larger (D, H) shrink the block instead of
+# blowing past VMEM at Mosaic compile (round-2 ADVICE #4).
+_VMEM_BUDGET = 4 * 400 * (8 + 784) + 2 * 512 * (12 * 784 + 8 * 400)
+
+
+def _block_lanes(Z: int, H: int, D: int) -> int:
+    """Largest lane-block (multiple of 128, <= BLOCK_C) within the budget;
+    0 if even 128 lanes don't fit (ineligible shape)."""
+    weights = 4 * H * (Z + D)
+    per_lane = 2 * (12 * D + 8 * H)
+    blk = (_VMEM_BUDGET - weights) // per_lane
+    return max(0, min(BLOCK_C, (blk // 128) * 128))
 
 
 def use_fused_decoder() -> bool:
@@ -98,16 +114,27 @@ def fused_decode_bce(z, x, w1, b1, w2, b2):
     z: (S, B, Z) latent draws; x: (B, D) targets in [0, 1].
     Returns (S, B) f32 per-(sample, example) pixel-sum log-likelihood.
     """
-    S, B, Z = z.shape
-    D = x.shape[-1]
-    H = w1.shape[1]
-    block = min(BLOCK_C, -(-B // 128) * 128)
-    pad = (-B) % block
     # transpose to batch-along-lanes OUTSIDE the kernel: (S,B,Z<=12)
     # buffers tile T(8,128) with the trailing dim padded 16x; (S,Z,B) and
     # (D,B) tile compactly and DMA at full lane width
-    zt = jnp.swapaxes(z, 1, 2)                        # (S, Z, B)
-    xt = jnp.swapaxes(x, 0, 1).astype(jnp.float32)    # (D, B)
+    return fused_decode_bce_t(jnp.swapaxes(z, 1, 2),
+                              jnp.swapaxes(x, 0, 1).astype(jnp.float32),
+                              w1, b1, w2, b2)
+
+
+def fused_decode_bce_t(zt, xt, w1, b1, w2, b2):
+    """Transposed-input entry: zt (S, Z, B), xt (D, B) already
+    batch-along-lanes — the layout one XLA moveaxis away from what the
+    fused reparam kernel (manifold_kernels.wrapped_reparam_stereo_t)
+    emits (a (Z,S,B)->(S,Z,B) leading-axes swap, ~15us per IWAE chunk at
+    production shapes; Mosaic cannot take Z on a middle block dim of
+    size 1, so the swap stays outside)."""
+    S, Z, B = zt.shape
+    D = xt.shape[0]
+    H = w1.shape[1]
+    block = min(_block_lanes(Z, H, D), -(-B // 128) * 128)
+    assert block >= 128, f"shape (Z={Z}, H={H}, D={D}) exceeds VMEM budget"
+    pad = (-B) % block
     if pad:
         zt = jnp.concatenate(
             [zt, jnp.zeros((S, Z, pad), zt.dtype)], axis=2)

@@ -259,133 +259,326 @@ def _lorentz_dist_vjp_bwd(res, g):
 lorentz_distance.defvjp(_lorentz_dist_vjp_fwd, _lorentz_dist_vjp_bwd)
 
 
-# --- fused wrapped-normal sample projection (stereographic family) -----------
+# --- fused wrapped-normal IWAE reparam (stereographic family) ----------------
+#
+# The PRODUCTION manifold kernel (round-3): one VMEM pass computes, for a
+# whole importance-sample chunk, the full wrapped-normal reparam chain of
+# models.vae.log_likelihood —
+#
+#   z    = mu (+)_K exp_0(sigma * eps)        (sample projection at mu0)
+#   logq = WrappedNormal(mu, sigma).log_prob(z)   [exact: principal preimage
+#          radius via (-mu) (+) z, plus wrap-image pairs on K > 0]
+#   logp = WrappedNormal(mu0, 1).log_prob(z)      (the IWAE prior term)
+#
+# Layout: batch along LANES, latent dim n (<= 32) along sublanes — the same
+# orientation as kernels/decoder_kernels.py, so the emitted z feeds the
+# fused decoder with ZERO relayout: eps arrives (S, n, B), mu/sigma (n, B)
+# are fetched once per batch block and REUSED across the whole sample grid
+# axis, z leaves as (S, n, B). In the natural (S, B, n<=12) orientation XLA
+# pads the trailing dim 16x and every elementwise pass in the ~50-op reparam
+# chain pays that padding; here all per-(sample, example) scalars are
+# (1, B) compact rows.
+
+_REPARAM_BLK = 512  # lanes per (8-sample x lanes) packed tile
 
 
-def _wrapped_sample_kernel(v_ref, mu_ref, sigma_ref, k_ref, z_ref, lq_ref):
-    """z = mu (+)_K exp_0(v), logq = N(v; 0, sigma) - (n-1) log(sin_k(r)/r),
-    one VMEM pass. v_ref holds the PRE-SCALED tangent (sigma*eps).
+def use_fused_reparam() -> bool:
+    """Default ON on compiled backends (production IWAE path); interpret
+    mode (CPU tests) is opt-in via MVAE_FUSED_REPARAM=1."""
+    v = os.environ.get("MVAE_FUSED_REPARAM", "auto")
+    if v in ("0", "1"):
+        return v == "1"
+    return jax.default_backend() != "cpu"
 
-    All per-row scalars (five packed Gram/log reductions, the tandiv and
-    log_sindiv series tails, the mobius coefficients, and the K<0 ball
-    clamps of ops.stereographic.project) are computed batch-along-lanes;
-    the two final multipliers transpose back and lane-broadcast into z.
+
+def _log_max(x, floor):
+    return jnp.log(jnp.maximum(x, floor))
+
+
+# Sign-specialized series helpers: a component's curvature SIGN is static
+# (manifold.curvature_sign — 'd' is pinned negative, 'p' positive, 'u'
+# free), so pinned kinds skip the transcendental branch they can never
+# take. Each dropped branch removes a sin/cos/exp chain per tile — at the
+# packed (8, BLK) tail width these dominate the kernel's VPU time.
+
+
+def _tandiv_u_sgn(u, sign):
+    small, us, uc = stable._split_series_window(u)
+    series = stable._poly(us, [1.0 / 3, 2.0 / 15, 17.0 / 315, 62.0 / 2835,
+                               1382.0 / 155925])
+    su = jnp.sqrt(jnp.abs(uc))
+    if sign > 0:
+        closed = jnp.sin(su) / (jnp.cos(su) * su)
+    elif sign < 0:
+        closed = jnp.tanh(su) / su
+    else:
+        closed = jnp.where(uc > 0, jnp.sin(su) / (jnp.cos(su) * su),
+                           jnp.tanh(su) / su)
+    return jnp.where(small, series, closed)
+
+
+def _arctandiv_u_sgn(w, sign):
+    small, ws, wc = stable._split_series_window(w)
+    series = stable._poly(ws, [-1.0 / 3, 1.0 / 5, -1.0 / 7, 1.0 / 9,
+                               -1.0 / 11])
+    e = stable.eps(w.dtype)
+    tin = stable.tiny(w.dtype)
+    if sign > 0:
+        sw = jnp.sqrt(jnp.maximum(wc, tin))
+        closed = _atan_poly(sw) / sw
+    elif sign < 0:
+        sw = jnp.sqrt(jnp.clip(-wc, tin, (1.0 - e) ** 2))
+        closed = stable.atanh_clamped(sw) / sw
+    else:
+        sw_p = jnp.sqrt(jnp.maximum(wc, tin))
+        sw_n = jnp.sqrt(jnp.clip(-wc, tin, (1.0 - e) ** 2))
+        closed = jnp.where(wc > 0, _atan_poly(sw_p) / sw_p,
+                           stable.atanh_clamped(sw_n) / sw_n)
+    return jnp.where(small, series, closed)
+
+
+def _log_sindiv_u_sgn(u, sign):
+    small, us, uc = stable._split_series_window(u)
+    sd_m1 = us * (-1.0 / 6 + us * (1.0 / 120 + us * (-1.0 / 5040
+                                                     + us * (1.0 / 362880))))
+    series = jnp.log1p(sd_m1)
+    e = stable.eps(u.dtype)
+    su = jnp.sqrt(jnp.abs(uc))
+    if sign > 0:
+        x_sph = jnp.clip(su, e, jnp.pi * (1.0 - 1e-6))
+        closed = jnp.log(jnp.sin(x_sph) / x_sph)
+    elif sign < 0:
+        closed = su + jnp.log1p(-jnp.exp(-2.0 * su)) - jnp.log(2.0 * su)
+    else:
+        x_sph = jnp.clip(su, e, jnp.pi * (1.0 - 1e-6))
+        sph = jnp.log(jnp.sin(x_sph) / x_sph)
+        hyp = su + jnp.log1p(-jnp.exp(-2.0 * su)) - jnp.log(2.0 * su)
+        closed = jnp.where(uc > 0, sph, hyp)
+    return jnp.where(small, series, closed)
+
+
+def _make_reparam_kernel(n: int, wraps: int, sign: int):
+    """Latent dim n on the LEADING (grid-unrolled) axis; each block is
+    (n, 8, L) = n fully-packed (8 sublane x L lane) batch tiles covering
+    8 importance samples x L examples. Reductions over n are then plain
+    vector adds of packed vregs and the whole ~100-op per-(sample,
+    example) scalar tail runs at FULL vreg occupancy — the two layouts
+    tried first (batch-on-lanes with per-row (1, B) scalars; 8-sample
+    sublane packing of (8, n, B) tiles) measured 1.5-1.8x SLOWER than
+    XLA on v5e because narrow rows idle 7/8 sublanes / axis-1 reductions
+    relayout per sample."""
+
+    def kernel(eps_ref, mu_ref, sig_ref, ls_ref, smin_ref, k_ref,
+               zt_ref, lq_ref, lp_ref):
+        eps = eps_ref[:]                              # (n, 8, L)
+        mu = mu_ref[:]                                # (n, 1, L)
+        sig = sig_ref[:]
+        k = k_ref[0]
+        dt = eps.dtype
+        e = stable.eps(dt)
+        tin = stable.tiny(dt)
+
+        v = eps * sig
+        # reductions over the leading axis: n-1 packed vector adds each
+        vsq = jnp.sum(v * v, axis=0)                  # (8, L)
+        xv = jnp.sum(mu * v, axis=0)
+        s2 = jnp.sum(eps * eps, axis=0)               # = sum((v/sig)^2)
+        x2 = jnp.sum(mu * mu, axis=0)                 # (1, L), row-bcast
+        ls = ls_ref[0]                                # sum(log sig), hoisted
+        smin = smin_ref[0]                            # min sig, hoisted
+
+        # exp_0 radial factor with the K<0 ball clamp of stereographic.project
+        g = 0.5 * _tandiv_u_sgn(k * vsq / 4.0, sign)
+        if sign <= 0:
+            negk = jnp.minimum(k, -tin)
+            max2 = (1.0 - e) * (1.0 - e) / (-negk)    # ball radius^2 (K<0)
+            g = g * jnp.where(k < 0, jnp.minimum(
+                1.0, jnp.sqrt(max2 / jnp.maximum(g * g * vsq, tin))), 1.0)
+
+        # z = mobius_add(mu, g*v) via per-sample scalar coefficients
+        gxv = g * xv
+        g2v = g * g * vsq
+        a = 1.0 - 2.0 * k * gxv - k * g2v             # coefficient of mu
+        b = (1.0 + k * x2) * g                        # coefficient of v
+        den = 1.0 - 2.0 * k * gxv + k * k * x2 * g2v
+        den = jnp.where(jnp.abs(den) < 1e-6, 1e-6, den)
+        p = a / den
+        q = b / den
+        z = p[None] * mu + q[None] * v                # (n, 8, L)
+        zn2 = jnp.sum(z * z, axis=0)
+        if sign <= 0:
+            scale = jnp.where(k < 0, jnp.minimum(   # final project() clamp
+                1.0, jnp.sqrt(max2 / jnp.maximum(zn2, tin))), 1.0)
+            z = z * scale[None]
+            zn2 = jnp.maximum(zn2 * scale * scale, 0.0)
+        zt_ref[:] = z
+
+        # principal preimage radius r_p = |log_map_mu0((-mu) (+) z)|: for
+        # K > 0 arctan lands in [0, pi/2) so r_p is principal by
+        # construction, exactly like the jnp inverse_sample_projection_mu0.
+        # The mobius vector is formed COMPONENTWISE — expanding |w|^2 in
+        # Gram terms cancels catastrophically in f32 near the antipode
+        muz = jnp.sum(mu * z, axis=0)
+        ca = 1.0 + 2.0 * k * muz - k * zn2            # (-mu) coefficient
+        cb = 1.0 + k * x2                             # z coefficient
+        denw = 1.0 + 2.0 * k * muz + k * k * x2 * zn2
+        denw = jnp.where(jnp.abs(denw) < 1e-6, 1e-6, denw)
+        wv = (cb[None] * z - ca[None] * mu) / denw[None]
+        w2 = jnp.sum(wv * wv, axis=0)
+        rp = 2.0 * jnp.sqrt(w2 + tin) * _arctandiv_u_sgn(k * w2, sign)
+        rp2 = rp * rp
+
+        quad = s2 / jnp.maximum(vsq, tin)             # sum((v_hat/sig)^2)
+        half_l2pi = 0.5 * n * _LOG_2PI
+        logdet0 = (n - 1.0) * _log_sindiv_u_sgn(k * rp2, sign)
+        logq = -0.5 * rp2 * quad - ls - half_l2pi - logdet0
+
+        # prior WrappedNormal(mu0, 1): radius is just |log_map_mu0(z)|
+        r0 = 2.0 * jnp.sqrt(zn2 + tin) * _arctandiv_u_sgn(k * zn2, sign)
+        r02 = r0 * r0
+        logp = -0.5 * r02 - half_l2pi \
+            - (n - 1.0) * _log_sindiv_u_sgn(k * r02, sign)
+
+        if wraps > 0 and sign >= 0:
+            # wrap-image pairs on K > 0 (distributions.wrapped_normal
+            # semantics): every image shares the principal |sin_k| --
+            # sin(theta_p + 2 pi m) = sin(theta_p) -- so each branch costs
+            # a handful of scalar ops. Dead branches (K <= 0, or z-score
+            # overflow) evaluate at the principal radius and are masked.
+            period = (2.0 * jnp.pi
+                      / jnp.sqrt(jnp.maximum(k, 1e-20))).astype(dt)
+            cap = 1e15
+
+            def branch_sum(log0, r_pr, quad_b, ls_b, smin_b):
+                sinr = r_pr * _sindiv_u_kernel(k * r_pr * r_pr)
+                lsk = _log_max(jnp.abs(sinr), tin)
+                terms = [log0]
+                for sgn in (1.0, -1.0):
+                    rb_raw = r_pr + sgn * period
+                    live = (k > 0) & (jnp.abs(rb_raw) < cap * smin_b)
+                    rb = jnp.where(live, rb_raw, r_pr)
+                    rb_a = jnp.abs(rb)
+                    logn_b = -0.5 * rb * rb * quad_b - ls_b - half_l2pi
+                    logd_b = (n - 1.0) * (lsk - _log_max(rb_a, tin))
+                    terms.append(jnp.where(live, logn_b - logd_b,
+                                           jnp.full_like(log0, -1e30)))
+                m = jnp.maximum(jnp.maximum(terms[0], terms[1]), terms[2])
+                return m + jnp.log(jnp.exp(terms[0] - m)
+                                   + jnp.exp(terms[1] - m)
+                                   + jnp.exp(terms[2] - m))
+
+            one = jnp.ones_like(logq)
+            logq = branch_sum(logq, rp, quad, ls, smin)
+            logp = branch_sum(logp, r0, one, jnp.zeros_like(ls), one)
+
+        lq_ref[:] = jnp.broadcast_to(logq, lq_ref.shape)
+        lp_ref[:] = jnp.broadcast_to(logp, lp_ref.shape)
+
+    return kernel
+
+
+def _sindiv_u_kernel(u):
+    """stable.sindiv_u with the sinh branch via exp (Mosaic has no sinh
+    lowering); same series window and clamps."""
+    small, us, uc = stable._split_series_window(u)
+    series = stable._poly(us, [-1.0 / 6, 1.0 / 120, -1.0 / 5040,
+                               1.0 / 362880])
+    su = jnp.sqrt(jnp.abs(uc))
+    sc = jnp.clip(su, -85.0, 85.0)
+    sinh = 0.5 * (jnp.exp(sc) - jnp.exp(-sc))
+    closed = jnp.where(uc > 0, jnp.sin(su) / su, sinh / su)
+    return jnp.where(small, series, closed)
+
+
+def wrapped_reparam_stereo_t(eps, mu_t, sigma_t, k, wraps: int = 1,
+                             sign: int = 0):
+    """Fused IWAE reparam for the kappa-stereographic family (d/p/u kinds).
+
+    eps:     (n, S, B) standard-normal tangent draws — latent dim LEADING
+             (the layout the kernel consumes with zero relayout; draw it
+             directly in this shape)
+    mu_t:    (n, B) posterior basepoints (coordinate space)
+    sigma_t: (n, B) posterior scales
+    k:       scalar curvature (any sign)
+    sign:    static curvature sign (-1 'd', +1 'p', 0 'u') — pinned kinds
+             compile without the transcendental branches they cannot take
+    Returns (z (n, S, B), log_q (S, B), log_p (S, B)); z is the draw,
+    log_q its exact posterior log-density (wrap images per ``wraps``),
+    log_p the WrappedNormal(mu0, 1) prior log-density. Eval-only (IWAE has
+    no backward); the jnp oracle is _wrapped_reparam_jnp.
     """
-    i = pl.program_id(0)
-    v = v_ref[:]
-    mu = mu_ref[:]
-    sigma = sigma_ref[:]
-    k = k_ref[0]
-    n = v.shape[1]
-    e = stable.eps(v.dtype)
-    tin = stable.tiny(v.dtype)
+    n, S, b0 = eps.shape
+    block = min(_REPARAM_BLK, -(-b0 // 128) * 128)
+    pad = (-b0) % block
+    sp = -(-S // 8) * 8
+    if pad:
+        eps = jnp.concatenate(
+            [eps, jnp.zeros((n, S, pad), eps.dtype)], axis=2)
+        mu_t = jnp.concatenate(
+            [mu_t, jnp.zeros((n, pad), mu_t.dtype)], axis=1)
+        sigma_t = jnp.concatenate(
+            [sigma_t, jnp.ones((n, pad), sigma_t.dtype)], axis=1)
+    if sp != S:  # pad the sample axis to the 8-per-step grid
+        eps = jnp.concatenate(
+            [eps, jnp.zeros((n, sp - S, eps.shape[2]), eps.dtype)], axis=1)
+    bp = b0 + pad
+    sigma_t = jnp.where(sigma_t > 0, sigma_t, 1.0)
+    # per-example scalars hoisted out of the sample grid axis (computing
+    # them in-kernel would redo an (n, B) log/min pass S times over)
+    ls_row = jnp.sum(jnp.log(sigma_t), axis=0, keepdims=True)[None]
+    smin_row = jnp.min(sigma_t, axis=0, keepdims=True)[None]
+    mu3 = mu_t[:, None, :]                            # (n, 1, B)
+    sig3 = sigma_t[:, None, :]
 
-    nv = v / sigma
-    packed = jnp.concatenate([
-        jnp.sum(v * v, axis=1, keepdims=True),
-        jnp.sum(mu * mu, axis=1, keepdims=True),
-        jnp.sum(mu * v, axis=1, keepdims=True),
-        jnp.sum(nv * nv, axis=1, keepdims=True),
-        jnp.sum(jnp.log(sigma), axis=1, keepdims=True),
-    ], axis=1).T                                     # (5, B) compact
-    vsq, x2, xv, s2, ls = (packed[0:1], packed[1:2], packed[2:3],
-                           packed[3:4], packed[4:5])
-
-    # exp_0 radial factor, with the same K<0 ball clamp ops.exp_map_mu0
-    # applies through project()
-    g = 0.5 * _tandiv_u_kernel(k * vsq / 4.0)
-    negk = jnp.minimum(k, -tin)
-    max2 = (1.0 - e) * (1.0 - e) / (-negk)           # ball radius^2 (K<0)
-    y2_raw = g * g * vsq
-    g = g * jnp.where(k < 0, jnp.minimum(
-        1.0, jnp.sqrt(max2 / jnp.maximum(y2_raw, tin))), 1.0)
-
-    # mobius_add(mu, g*v) from Gram values only
-    gxv = g * xv
-    g2v = g * g * vsq
-    a = 1.0 - 2.0 * k * gxv - k * g2v                # coefficient of mu
-    b = (1.0 + k * x2) * g                           # coefficient of v
-    den = 1.0 - 2.0 * k * gxv + k * k * x2 * g2v
-    den = jnp.where(jnp.abs(den) < 1e-6, 1e-6, den)
-    p = a / den
-    q = b / den
-    # final project() clamp (K<0): |z|^2 from the same Gram values
-    zn2 = p * p * x2 + 2.0 * p * q * xv + q * q * vsq
-    scale = jnp.where(k < 0, jnp.minimum(
-        1.0, jnp.sqrt(max2 / jnp.maximum(zn2, tin))), 1.0)
-    p = p * scale
-    q = q * scale
-
-    logn = -0.5 * s2 - ls - 0.5 * n * _LOG_2PI
-    logdet = (n - 1.0) * stable.log_sindiv_u(k * vsq)
-    lq_ref[i % 8, :] = (logn - logdet)[0]            # row-block store
-
-    pq = jnp.concatenate([p, q], axis=0).T           # (B, 2) back-transpose
-    z_ref[:] = pq[:, 0:1] * mu + pq[:, 1:2] * v
-
-
-def _wrapped_sample_fwd_pallas(v, mu, sigma, k):
-    (vp, b0) = _pad_batch(v, BLOCK_B)
-    (mup, _) = _pad_batch(mu, BLOCK_B)
-    sigma_full = jnp.broadcast_to(sigma, v.shape)
-    (sigp, _) = _pad_batch(jnp.where(sigma_full > 0, sigma_full, 1.0),
-                           BLOCK_B)
-    sigp = jnp.where(sigp > 0, sigp, 1.0)  # padded rows: sigma=1 (no NaN)
-    bp, n = vp.shape
-    nb = bp // BLOCK_B
-    nbp = -(-nb // 8) * 8
-    z, lq = pl.pallas_call(
-        _wrapped_sample_kernel,
-        grid=(nb,),
+    z, lq, lp = pl.pallas_call(
+        _make_reparam_kernel(n, wraps, sign),
+        grid=(bp // block, sp // 8),
         in_specs=[
-            pl.BlockSpec((BLOCK_B, n), lambda i: (i, 0),
+            pl.BlockSpec((n, 8, block), lambda b, s: (0, s, b),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((BLOCK_B, n), lambda i: (i, 0),
+            pl.BlockSpec((n, 1, block), lambda b, s: (0, 0, b),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((BLOCK_B, n), lambda i: (i, 0),
+            pl.BlockSpec((n, 1, block), lambda b, s: (0, 0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block), lambda b, s: (0, 0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block), lambda b, s: (0, 0, b),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=(
-            pl.BlockSpec((BLOCK_B, n), lambda i: (i, 0),
+            pl.BlockSpec((n, 8, block), lambda b, s: (0, s, b),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, BLOCK_B), lambda i: (i // 8, 0),
+            pl.BlockSpec((8, block), lambda b, s: (s, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, block), lambda b, s: (s, b),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((bp, n), v.dtype),
-            jax.ShapeDtypeStruct((nbp, BLOCK_B), v.dtype),
+            jax.ShapeDtypeStruct((n, sp, bp), eps.dtype),
+            jax.ShapeDtypeStruct((sp, bp), eps.dtype),
+            jax.ShapeDtypeStruct((sp, bp), eps.dtype),
         ),
         interpret=_interpret(),
-    )(vp, mup, sigp, jnp.reshape(k, (1,)).astype(v.dtype))
-    return z[:b0], lq[:nb].reshape(-1)[:b0]
+    )(eps, mu3, sig3, ls_row, smin_row,
+      jnp.reshape(k, (1,)).astype(eps.dtype))
+    return z[:, :S, :b0], lq[:S, :b0], lp[:S, :b0]
 
 
-def _wrapped_sample_jnp(v, mu, sigma, k):
-    """jnp reference (oracle + backward path)."""
-    from ..distributions import normal
+def _wrapped_reparam_jnp(eps, mu_t, sigma_t, k, wraps: int = 1):
+    """jnp oracle for wrapped_reparam_stereo_t: the exact composition the
+    production path replaces (wrapped_normal on a 'u' descriptor covers
+    d/p/u — one smooth-in-K implementation). eps is (n, S, B)."""
+    from ..distributions import wrapped_normal
+    from ..ops import Manifold
+    n = eps.shape[0]
+    man = Manifold("u", n)
+    v = jnp.moveaxis(eps * sigma_t[:, None, :], 0, -1)   # (S, B, n)
+    mu = mu_t.T
+    sigma = sigma_t.T
     z = stereographic.sample_projection_mu0(v, mu, k)
-    r = stable.safe_norm(v)
-    logq = normal.log_prob(v, jnp.zeros((), v.dtype), sigma) \
-        - (v.shape[-1] - 1) * stable.log_sin_k_div(r, k)
-    return z, logq
-
-
-@jax.custom_vjp
-def wrapped_sample_stereo(v, mu, sigma, k):
-    """Fused wrapped-normal push-forward + log-density on the
-    kappa-stereographic family. v is the pre-scaled tangent draw."""
-    return _wrapped_sample_fwd_pallas(v, mu, sigma, k)
-
-
-def _ws_vjp_fwd(v, mu, sigma, k):
-    return _wrapped_sample_fwd_pallas(v, mu, sigma, k), (v, mu, sigma, k)
-
-
-def _ws_vjp_bwd(res, gs):
-    v, mu, sigma, k = res
-    _, vjp = jax.vjp(_wrapped_sample_jnp, v, mu, sigma, k)
-    return vjp(gs)
-
-
-wrapped_sample_stereo.defvjp(_ws_vjp_fwd, _ws_vjp_bwd)
+    v_p = stereographic.inverse_sample_projection_mu0(z, mu, k)
+    logq = wrapped_normal._log_prob_from_principal(man, v_p, sigma, k, wraps)
+    logp = wrapped_normal.log_prob_mu0(man, z, jnp.ones((), eps.dtype), k,
+                                       wraps=wraps)
+    return jnp.moveaxis(z, -1, 0), logq, logp

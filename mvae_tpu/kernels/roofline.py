@@ -1,28 +1,35 @@
-"""Roofline measurement for the Pallas kernels: achieved bandwidth vs the
+"""Roofline measurement for the Pallas kernels: achieved throughput vs a
 COMPUTED binding roofline (BASELINE success criterion: >=80% of the binding
-roofline, computed — not asserted).
+roofline, computed — not asserted; round-3 target >=85% with no kernel
+exceeding 100% of its ceiling).
 
 Two pieces:
 
 1. **Machine calibration** (measured live, not quoted):
    - `stream` : HBM triad bandwidth through a Pallas kernel (2 reads +
-     1 write), the achievable-DMA ceiling for these I/O patterns;
+     1 write), the generic achievable-DMA rate;
    - `fma`    : VPU elementwise throughput (chained FMA);
    - `tanh`   : VPU transcendental throughput;
-   - `reduce` : one (2048,128) -> (2048,1) cross-lane tree reduction
-     (including one fused elementwise pass — the natural unit in these
-     kernels, where every reduction consumes a fresh product);
+   - `reduce` : one (2048,128) -> (2048,1) cross-lane tree reduction;
    - `transpose`: one (2048,8) <-> (8,2048) relayout;
-   - `mxu`    : bf16 matmul throughput (f32 accumulation).
+   - `mxu`    : bf16 matmul throughput (f32 accumulation);
+   - per-kernel **I/O skeletons**: for EACH measured kernel, a sibling
+     pallas_call with IDENTICAL grid/BlockSpecs and a near-empty body (no
+     relayouts, no reductions — one scalar read per input to keep the
+     blocks live, one constant store per output). Round 2 used shared
+     skeletons whose bodies contained transposes; two kernels then measured
+     108-113% of their "ceiling" (VERDICT r2 weak #1/#6). A skeleton with
+     the kernel's exact DMA pattern and zero compute is the honest floor:
+     a correct kernel cannot beat it except by timing noise (both sides are
+     best-of-N scan-differenced measurements).
 
-2. **Per-kernel roofline**: each kernel's cost model is written out as
-   op counts per 2048-row block (elementwise passes, transcendental
-   passes, lane reductions, relayouts, MXU MACs) priced at the calibrated
-   rates. The binding roofline is max(t_dma, t_vpu, t_mxu) — DMA pipelines
-   against compute across grid steps, the MXU runs in parallel with the
-   VPU, VPU work is serial with itself. We report achieved GB/s, the XLA
-   (jnp) path, % of the plain-HBM roofline, % of the computed binding
-   roofline, and forward accuracy vs the f64-free jnp oracle.
+2. **Per-kernel binding roofline**: max(t_dma_skeleton, t_vpu_model,
+   t_mxu_model) per block, where the VPU model counts vreg-ops (a (1, B)
+   compact row costs B/128 lane-vregs at 1/8 sublane occupancy, i.e. the
+   SAME vreg count as a full pass over B lanes — per-row scalar math is
+   cheap only relative to XLA's 16x-padded (S*B, n<=12) layout, not free).
+   We report achieved GB/s, the XLA (jnp) path, % of plain-HBM roofline,
+   % of the computed binding roofline, and accuracy vs the jnp oracle.
 
 Methodology (this backend makes naive timing lie — see memory notes /
 bench.py comments): `block_until_ready` can return before execution
@@ -34,7 +41,7 @@ op's marginal cost by differencing two scans that differ ONLY in how many
 iterations apply the op (same mutation count), then divides by the
 iteration delta.
 
-Run on the TPU:  python -m mvae_tpu.kernels.roofline
+Run on the TPU:  python -m mvae_tpu.kernels.roofline [out.json]
 """
 from __future__ import annotations
 
@@ -57,13 +64,21 @@ B, N = 1 << 20, 128
 BLK = mk.BLOCK_B
 ITERS_LO, ITERS_HI = 4, 20
 
+# production IWAE-eval reparam shape: d6 model, eval batch 2048, fused
+# chunk 125 (the largest divisor of 500 <= 128)
+RS, RN, RB = 125, 6, 2048
+
 
 def _log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+def _interp():
+    return jax.default_backend() == "cpu"
+
+
 # ------------------------------------------------------------- measurement
-def measure(fn, args, iters=(ITERS_LO, ITERS_HI)):
+def measure(fn, args, iters=(ITERS_LO, ITERS_HI), repeats=5):
     """Marginal seconds per op application via scan differencing."""
     def make(n_op, total):
         @jax.jit
@@ -75,9 +90,11 @@ def measure(fn, args, iters=(ITERS_LO, ITERS_HI)):
                 def with_op(x):
                     out = fn(x, *rest)
                     if isinstance(out, tuple):
-                        return acc + jnp.sum(out[0][..., :1]) \
-                            + jnp.sum(out[1][:1])
-                    return acc + jnp.sum(out[..., :1])
+                        acc2 = acc
+                        for o in out:
+                            acc2 = acc2 + jnp.sum(o.reshape(-1)[:1])
+                        return acc2
+                    return acc + jnp.sum(out.reshape(-1)[:1])
 
                 def without_op(x):
                     return acc + x.reshape(-1)[0]
@@ -96,7 +113,7 @@ def measure(fn, args, iters=(ITERS_LO, ITERS_HI)):
         run = make(n_op, iters[1] + 2)
         float(run(x0, rest))  # compile + warm
         best = 1e9
-        for r in range(3):
+        for r in range(repeats):
             xr = x0 + (r + 1) * 1e-8
             t0 = time.time()
             float(run(xr, rest))
@@ -115,7 +132,7 @@ def _elementwise_call(kernel, x, out_like=None):
         out_specs=pl.BlockSpec((BLK, out_like.shape[1]), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(out_like.shape, out_like.dtype),
-        interpret=jax.default_backend() == "cpu",
+        interpret=_interp(),
     )(x)
 
 
@@ -171,19 +188,6 @@ def _mxu_kernel(x_ref, o_ref):
     o_ref[:] = a + b
 
 
-def _read2_kernel(x_ref, y_ref, o_ref):
-    """I/O skeleton of the distance kernels: 2 reads + row-block store."""
-    i = pl.program_id(0)
-    o_ref[i % 8, :] = (x_ref[:, 0:1] + y_ref[:, 0:1]).T[0]
-
-
-def _rw31_kernel(x_ref, y_ref, s_ref, z_ref, o_ref):
-    """I/O skeleton of wrapped_sample: 3 reads + 1 full write + row store."""
-    i = pl.program_id(0)
-    z_ref[:] = x_ref[:] + y_ref[:] + s_ref[:]
-    o_ref[i % 8, :] = x_ref[:, 0:1].T[0]
-
-
 def calibrate():
     x = jax.random.normal(jax.random.key(0), (B, N)) * 0.05
     y = jax.random.normal(jax.random.key(1), (B, N)) * 0.05
@@ -197,7 +201,7 @@ def calibrate():
             out_specs=pl.BlockSpec((BLK, N), lambda i: (i, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((B, N), x.dtype),
-            interpret=jax.default_backend() == "cpu",
+            interpret=_interp(),
         )(x, y)
 
     t = measure(triad, (x, y))
@@ -220,70 +224,107 @@ def calibrate():
     t = measure(lambda x: _elementwise_call(_mxu_kernel, x), (x,))
     cal["mxu_tmacs"] = B * N * 128 * 8 / t / 1e12
 
-    # I/O-skeleton DMA ceilings (same block specs as the real kernels,
-    # near-zero compute): the honest achievable-DMA bound per pattern
-    nb = B // BLK
-    nbp = -(-nb // 8) * 8
-
-    def read2(x, y):
-        return pl.pallas_call(
-            _read2_kernel, grid=(nb,),
-            in_specs=[pl.BlockSpec((BLK, N), lambda i: (i, 0),
-                                   memory_space=pltpu.VMEM)] * 2,
-            out_specs=pl.BlockSpec((8, BLK), lambda i: (i // 8, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((nbp, BLK), x.dtype),
-            interpret=jax.default_backend() == "cpu",
-        )(x, y)
-
-    t = measure(read2, (x, y))
-    cal["dma_read2_us"] = t / nb * 1e6
-
-    def rw31(x, y):
-        return pl.pallas_call(
-            _rw31_kernel, grid=(nb,),
-            in_specs=[pl.BlockSpec((BLK, N), lambda i: (i, 0),
-                                   memory_space=pltpu.VMEM)] * 3,
-            out_specs=(pl.BlockSpec((BLK, N), lambda i: (i, 0),
-                                    memory_space=pltpu.VMEM),
-                       pl.BlockSpec((8, BLK), lambda i: (i // 8, 0),
-                                    memory_space=pltpu.VMEM)),
-            out_shape=(jax.ShapeDtypeStruct((B, N), x.dtype),
-                       jax.ShapeDtypeStruct((nbp, BLK), x.dtype)),
-            interpret=jax.default_backend() == "cpu",
-        )(x, y, x)
-
-    t = measure(rw31, (x, y))
-    cal["dma_rw31_us"] = t / nb * 1e6
+    # per-vreg VPU rates: a (2048, 128) f32 pass is 2048*128/(8*128) = 256
+    # lane-vregs; compact (1, B) rows cost B/128 vregs per op
+    cal["elem_vreg_us"] = cal["elem_pass_us"] / 256.0
+    cal["transc_vreg_us"] = cal["transc_pass_us"] / 256.0
 
     for k, v in cal.items():
-        _log(f"  calib {k:16s} = {v:9.3f}")
+        _log(f"  calib {k:16s} = {v:9.4f}")
     return cal
 
 
-# ---------------------------------------------------------- kernel models
-def _model_block_us(cal, n_bytes_row, dma_key="dma_read2_us", elem=0,
-                    transc=0, reduces=0, transposes=0, tail_ops=0,
-                    mxu_macs=0):
-    """Binding-roofline time for one 2048-row block, priced at calibrated
-    rates. tail_ops = per-row-scalar ops on compact (1, B) vregs (1/128 of
-    an elementwise pass each); dma_key picks the measured I/O-skeleton
-    ceiling matching the kernel's block-spec pattern."""
-    t_dma = cal[dma_key]
-    t_vpu = (elem * cal["elem_pass_us"] + transc * cal["transc_pass_us"]
-             + reduces * cal["reduce_us"] + transposes * cal["transpose_us"]
-             + tail_ops * cal["elem_pass_us"] / 128.0)
-    t_mxu = mxu_macs / (cal["mxu_tmacs"] * 1e12) * 1e6
-    return max(t_dma, t_vpu, t_mxu), dict(
-        t_dma_us=round(t_dma, 3), t_vpu_us=round(t_vpu, 3),
-        t_mxu_us=round(t_mxu, 3))
+# --------------------------------------------- per-kernel exact-spec skeletons
+def _skel_dist(out_rows):
+    """2 reads (BLK, N) + the distance kernels' output pattern, no compute."""
+    def read2_rowstore(x, y):
+        nb = B // BLK
+        nbp = -(-nb // 8) * 8
+
+        def body(x_ref, y_ref, o_ref):
+            i = pl.program_id(0)
+            c = x_ref[0, 0] + y_ref[0, 0]
+            o_ref[i % 8, :] = jnp.full((BLK,), c, x_ref.dtype)
+
+        def body_block(x_ref, y_ref, o_ref):
+            c = x_ref[0, 0] + y_ref[0, 0]
+            o_ref[:] = jnp.full(o_ref.shape, c, x_ref.dtype)
+
+        if out_rows == "rowstore":
+            return pl.pallas_call(
+                body, grid=(nb,),
+                in_specs=[pl.BlockSpec((BLK, N), lambda i: (i, 0),
+                                       memory_space=pltpu.VMEM)] * 2,
+                out_specs=pl.BlockSpec((8, BLK), lambda i: (i // 8, 0),
+                                       memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((nbp, BLK), x.dtype),
+                interpret=_interp(),
+            )(x, y)
+        return pl.pallas_call(
+            body_block, grid=(nb,),
+            in_specs=[pl.BlockSpec((BLK, N), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM)] * 2,
+            out_specs=pl.BlockSpec((BLK // 128, 128), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B // 128, 128), x.dtype),
+            interpret=_interp(),
+        )(x, y)
+    return read2_rowstore
 
 
-def _report(name, cal, per_op_s, n_bytes_row, n_rows, accuracy, model_kw,
-            results, xla_per_op_s=None):
-    gbps = n_rows * n_bytes_row / per_op_s / 1e9
-    t_model, parts = _model_block_us(cal, n_bytes_row, **model_kw)
-    binding_gbps = BLK * n_bytes_row / (t_model * 1e-6) / 1e9
+def _skel_reparam(eps, mu3, sig3, ls, smin, k):
+    """wrapped_reparam_stereo_t's exact grid/specs, near-empty body.
+    eps (n, S, B) with S % 8 == 0 and B % block == 0."""
+    n, sp, bp = eps.shape
+    block = mk._REPARAM_BLK
+
+    def body(eps_ref, mu_ref, sig_ref, ls_ref, smin_ref, k_ref,
+             zt_ref, lq_ref, lp_ref):
+        zt_ref[:] = eps_ref[:]
+        c = mu_ref[0, 0, 0] + sig_ref[0, 0, 0] + ls_ref[0, 0, 0] \
+            + smin_ref[0, 0, 0] + k_ref[0]
+        lq_ref[:] = jnp.full((8, block), c, eps_ref.dtype)
+        lp_ref[:] = jnp.full((8, block), c, eps_ref.dtype)
+
+    return pl.pallas_call(
+        body, grid=(bp // block, sp // 8),
+        in_specs=[
+            pl.BlockSpec((n, 8, block), lambda b, s: (0, s, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, 1, block), lambda b, s: (0, 0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, 1, block), lambda b, s: (0, 0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block), lambda b, s: (0, 0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block), lambda b, s: (0, 0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((n, 8, block), lambda b, s: (0, s, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, block), lambda b, s: (s, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, block), lambda b, s: (s, b),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, sp, bp), eps.dtype),
+            jax.ShapeDtypeStruct((sp, bp), eps.dtype),
+            jax.ShapeDtypeStruct((sp, bp), eps.dtype),
+        ),
+        interpret=_interp(),
+    )(eps, mu3, sig3, ls, smin, k)
+
+
+# ---------------------------------------------------------- reporting
+def _report(name, cal, per_op_s, n_bytes_total, t_dma_us, t_vpu_us,
+            accuracy, results, xla_per_op_s=None, t_mxu_us=0.0,
+            model_counts=None):
+    gbps = n_bytes_total / per_op_s / 1e9
+    t_model_us = max(t_dma_us, t_vpu_us, t_mxu_us)
+    binding_gbps = n_bytes_total / (t_model_us * 1e-6) / 1e9
     row = {
         "kernel": name,
         "ms_per_op": round(per_op_s * 1e3, 3),
@@ -291,18 +332,21 @@ def _report(name, cal, per_op_s, n_bytes_row, n_rows, accuracy, model_kw,
         "pct_of_hbm_nominal": round(100 * gbps / HBM_GBPS_NOMINAL, 1),
         "binding_roofline_gbps": round(binding_gbps, 1),
         "pct_of_binding": round(100 * gbps / binding_gbps, 1),
-        "model_parts_us": parts,
-        "model_counts": model_kw,
+        "model_parts_us": {"t_dma_us": round(t_dma_us, 3),
+                           "t_vpu_us": round(t_vpu_us, 3),
+                           "t_mxu_us": round(t_mxu_us, 3)},
+        "model_counts": model_counts or {},
         "max_rel_err_vs_oracle": accuracy,
     }
     if xla_per_op_s is not None:
-        row["xla_gbps"] = round(n_rows * n_bytes_row / xla_per_op_s / 1e9, 1)
+        row["xla_gbps"] = round(n_bytes_total / xla_per_op_s / 1e9, 1)
         row["speedup_vs_xla"] = round(xla_per_op_s / per_op_s, 2)
-    _log(f"{name:22s} {gbps:6.0f} GB/s "
+    _log(f"{name:24s} {gbps:6.0f} GB/s "
          f"(xla {row.get('xla_gbps', float('nan')):6.1f}; "
          f"binding {binding_gbps:6.0f} -> {row['pct_of_binding']:5.1f}%; "
          f"hbm {row['pct_of_hbm_nominal']:4.1f}%; err {accuracy:.1e})")
     results.append(row)
+    return row
 
 
 def _accuracy(fn, oracle, args):
@@ -318,53 +362,99 @@ def _accuracy(fn, oracle, args):
         for x, y in zip(a, b))
 
 
-def main():
+def main(out_path=None):
     _log(f"device: {jax.devices()[0]}")
     _log("calibrating machine rates...")
     cal = calibrate()
-    results = [{"calibration": {k: round(v, 3) for k, v in cal.items()}}]
+    results = [{"calibration": {k: round(v, 4) for k, v in cal.items()}}]
 
     kk = jnp.float32(-1.0)
     x0 = jax.random.normal(jax.random.key(0), (B, N)) * 0.05
     y0 = jax.random.normal(jax.random.key(1), (B, N)) * 0.05
 
-    # --- stereo distance: 3 products+reduces, 1 packT, ~45-op compact tail
+    # DMA skeleton floors (identical specs, no compute)
+    t_skel_row = measure(_skel_dist("rowstore"), (x0, y0))
+    t_skel_blk = measure(_skel_dist("block"), (x0, y0))
+    nb = B // BLK
+    _log(f"  skeleton read2+rowstore {t_skel_row / nb * 1e6:7.3f} us/blk; "
+         f"read2+blockstore {t_skel_blk / nb * 1e6:7.3f} us/blk")
+
+    # --- stereo distance: 3 reduces, 1 pack-transpose, ~45-op compact tail
     acc = _accuracy(mk.stereo_distance, stereo_ops.distance,
                     (stereo_ops.exp_map_mu0(x0[:4096] * 10, kk),
                      stereo_ops.exp_map_mu0(y0[:4096] * 10, kk), kk))
     t = measure(mk.stereo_distance, (x0, y0, kk))
     t_xla = measure(stereo_ops.distance, (x0, y0, kk))
-    _report("pallas stereo_distance", cal, t, 2 * N * 4 + 4, B, acc,
-            dict(reduces=3, transposes=1, tail_ops=45), results,
-            xla_per_op_s=t_xla)
+    counts = dict(reduces=3, transposes=1, tail_vregs=45 * (BLK // 128))
+    t_vpu = (3 * cal["reduce_us"] + cal["transpose_us"]
+             + counts["tail_vregs"] * cal["elem_vreg_us"])
+    _report("pallas stereo_distance", cal, t, B * (2 * N * 4 + 4),
+            t_skel_row / nb * 1e6, t_vpu, acc, results, xla_per_op_s=t_xla,
+            model_counts=counts)
 
-    # --- lorentz distance: 1 product+reduce, 1 relayout, tiny tail
+    # --- lorentz distance: 1 fused product+reduce, tiny tail, block store
     xl = lorentz_ops.exp_map_mu0(x0[:, : N - 1] * 8, kk)
     yl = lorentz_ops.exp_map_mu0(y0[:, : N - 1] * 8, kk)
     acc = _accuracy(mk.lorentz_distance, lorentz_ops.distance,
                     (xl[:4096], yl[:4096], kk))
     t = measure(mk.lorentz_distance, (xl, yl, kk))
     t_xla = measure(lorentz_ops.distance, (xl, yl, kk))
-    _report("pallas lorentz_distance", cal, t, 2 * N * 4 + 4, B, acc,
-            dict(elem=1, reduces=1, transposes=1), results,
-            xla_per_op_s=t_xla)
+    counts = dict(elem_passes=1, reduces=1, tail_vregs=10 * (BLK // 128))
+    t_vpu = (cal["elem_pass_us"] + cal["reduce_us"]
+             + counts["tail_vregs"] * cal["elem_vreg_us"])
+    _report("pallas lorentz_distance", cal, t, B * (2 * N * 4 + 4),
+            t_skel_blk / nb * 1e6, t_vpu, acc, results, xla_per_op_s=t_xla,
+            model_counts=counts)
 
-    # --- wrapped sample: 4 products + log-sigma pass + 5 reduces + 2
-    #     transposes + z assembly (3 passes) + ~110-op compact tail
-    sig = jnp.float32(0.8)
-    mu0 = stereo_ops.exp_map_mu0(y0 * 6, kk)
+    # --- fused IWAE reparam at its PRODUCTION shape (d6 eval, B=2048,
+    #     chunk 125): eps (S, n, B) -> z + exact log q + prior log p
+    sig0 = 0.5 + 0.7 * jax.random.uniform(jax.random.key(3), (RN, RB),
+                                          dtype=jnp.float32)
+    mu0 = stereo_ops.exp_map_mu0(
+        0.4 * jax.random.normal(jax.random.key(4), (RB, RN)), kk).T
+    eps0 = jax.random.normal(jax.random.key(5), (RN, RS, RB), jnp.float32)
+    sp8 = -(-RS // 8) * 8
+    eps_pad = jnp.concatenate(
+        [eps0, jnp.zeros((RN, sp8 - RS, RB), jnp.float32)], axis=1) \
+        if sp8 != RS else eps0
+    ls0 = jnp.sum(jnp.log(sig0), axis=0, keepdims=True)[None]
+    smin0 = jnp.min(sig0, axis=0, keepdims=True)[None]
+    mu3 = mu0[:, None, :]
+    sig3 = sig0[:, None, :]
+
     acc = _accuracy(
-        lambda v, mu, k: mk.wrapped_sample_stereo(v, mu, sig, k),
-        lambda v, mu, k: mk._wrapped_sample_jnp(v, mu, sig, k),
-        (x0[:4096] * 8, mu0[:4096], kk))
-    t = measure(lambda v, mu, k: mk.wrapped_sample_stereo(v, mu, sig, k),
-                (x0 * 8, mu0, kk))
-    t_xla = measure(lambda v, mu, k: mk._wrapped_sample_jnp(v, mu, sig, k),
-                    (x0 * 8, mu0, kk))
-    _report("pallas wrapped_sample", cal, t, 4 * N * 4 + 4, B, acc,
-            dict(dma_key="dma_rw31_us", elem=7, transc=1, reduces=5,
-                 transposes=2, tail_ops=110),
-            results, xla_per_op_s=t_xla)
+        lambda e, m, k: mk.wrapped_reparam_stereo_t(e[:, :8], m, sig0, k,
+                                                    sign=-1),
+        lambda e, m, k: mk._wrapped_reparam_jnp(e[:, :8], m, sig0, k),
+        (eps0, mu0, kk))
+    t = measure(lambda e, m, k: mk.wrapped_reparam_stereo_t(e, m, sig0, k,
+                                                            sign=-1),
+                (eps0, mu0, kk))
+    t_xla = measure(lambda e, m, k: mk._wrapped_reparam_jnp(e, m, sig0, k),
+                    (eps0, mu0, kk))
+    t_skel = measure(
+        lambda e, m, k: _skel_reparam(e, m, sig3, ls0, smin0,
+                                      jnp.reshape(k, (1,))),
+        (eps_pad, mu3, kk))
+    # bytes: eps in + z out + (lq, lp) out + (mu, sigma) once
+    rep_bytes = (2 * RS * RN * RB + 2 * RS * RB + 2 * RN * RB) * 4
+    n_blocks = (RB // mk._REPARAM_BLK) * (sp8 // 8)
+    # VPU model per (n, 8, L) block (ALL tiles fully packed): ~22 full
+    # passes of n vregs each (elementwise chains over (n, 8, L)), ~16
+    # reduction adds, ~110 packed (8, L) tail ops and ~10 transcendental
+    # tail ops (sign-specialized d path; a transcendental ~ one transc
+    # pass per vreg)
+    vtile = mk._REPARAM_BLK // 128  # vregs per fully-packed (8, L) tile
+    counts = dict(full_pass_vregs=22 * RN * vtile, reduce_vregs=16 * vtile,
+                  tail_vregs=110 * vtile, transc_vregs=10 * vtile)
+    t_vpu = ((counts["full_pass_vregs"] + counts["reduce_vregs"]
+              + counts["tail_vregs"]) * cal["elem_vreg_us"]
+             + counts["transc_vregs"] * cal["transc_vreg_us"])
+    row = _report("pallas wrapped_reparam", cal, t, rep_bytes,
+                  t_skel / n_blocks * 1e6, t_vpu, acc, results,
+                  xla_per_op_s=t_xla, model_counts=counts)
+    row["shape"] = f"S={RS} n={RN} B={RB} (production IWAE chunk)"
+    row["skeleton_us_per_block"] = round(t_skel / n_blocks * 1e6, 3)
 
     # --- fused decoder+BCE: MXU-bound (3-pass hi/lo GEMMs)
     S, Bd, Z, H, D = 16, 2048, 8, 400, 784
@@ -395,26 +485,31 @@ def main():
     rows = S * Bd
     macs3 = rows * (Z * H + H * D) * 3
     tmacs = macs3 / t / 1e12
-    MXU_NOMINAL_TMACS = 98.5  # v5e: 197 Tflop/s bf16
     row = {
         "kernel": "pallas fused_decode_bce",
         "ms_per_op": round(t * 1e3, 3),
         "tmacs_3pass": round(tmacs, 1),
-        "pct_of_mxu_binding": round(100 * tmacs / MXU_NOMINAL_TMACS, 1),
+        "pct_of_mxu_binding": round(100 * tmacs / cal["mxu_tmacs"], 1),
+        "mxu_binding_tmacs": round(cal["mxu_tmacs"], 1),
         "speedup_vs_xla_f32": round(t_hi / t, 2),
         "speedup_vs_xla_default_bf16": round(t_def / t, 2),
         "max_abs_err_nats_vs_f32": round(err_fused, 5),
         "xla_default_err_nats_vs_f32": round(err_def, 5),
     }
-    _log(f"fused_decode_bce       {tmacs:5.1f} Tmac/s "
-         f"({row['pct_of_mxu_binding']}% of nominal MXU; "
+    _log(f"fused_decode_bce         {tmacs:5.1f} Tmac/s "
+         f"({row['pct_of_mxu_binding']}% of measured MXU; "
          f"{row['speedup_vs_xla_f32']}x vs XLA-f32, "
          f"{row['speedup_vs_xla_default_bf16']}x vs XLA-default-bf16; "
          f"err {err_fused:.1e} vs XLA-default err {err_def:.1e} nats)")
     results.append(row)
 
-    print(json.dumps(results))
+    out = json.dumps(results)
+    print(out)
+    if out_path:
+        with open(out_path, "w") as f:
+            f.write(out + "\n")
+        _log(f"wrote {out_path}")
 
 
 if __name__ == "__main__":
-    main()
+    main(sys.argv[1] if len(sys.argv) > 1 else None)

@@ -159,6 +159,61 @@ def _reparam_components(key, cfg: VAEConfig, params, feats):
             jnp.stack(kls, axis=-1), jnp.stack(curvs))
 
 
+def _fused_reparam_eligible(comp, comp_params) -> bool:
+    """The fused Pallas reparam kernel covers wrapped posteriors on the
+    kappa-stereographic family (Poincare ball / projected sphere /
+    universal) in f32; other (component, posterior) pairs take the jnp
+    path per component — the two mix freely inside one product latent."""
+    from ..kernels import manifold_kernels
+    return (comp.posterior == "wrapped"
+            and comp.manifold.kind in ("d", "p", "u")
+            and comp.dim <= 32
+            and comp_params["w_mu"].dtype == jnp.float32
+            and manifold_kernels.use_fused_reparam())
+
+
+def _reparam_chunk_t(ck, cfg: VAEConfig, params, feats, chunk_size: int):
+    """IWAE chunk reparam emitting batch-along-lanes zt (chunk, Z, B) plus
+    summed log q / log p (chunk, B) — the fused decoder kernel's layout.
+    Stereographic wrapped components run in
+    ONE fused Pallas pass over the whole chunk
+    (kernels.manifold_kernels.wrapped_reparam_stereo_t); everything else
+    reuses the per-sample jnp path and transposes its slice."""
+    from ..components import reparametrize
+    from ..kernels import manifold_kernels
+    raws = _fused_head_raw(cfg, params, feats)
+    # jnp-path components keep the EXACT key tree of the unfused path
+    # (split per sample, then per component inside _reparam_components),
+    # so fused-vs-jnp log_likelihood stays draw-for-draw comparable;
+    # kernel components draw their eps block from a per-component fold
+    n_comp = len(cfg.components)
+    sks = jax.random.split(ck, chunk_size)
+    comp_keys = jax.vmap(lambda sk: jax.random.split(sk, n_comp))(sks)
+    zts, log_q, log_p = [], 0, 0
+    for ci, (comp, cp, raw) in enumerate(
+            zip(cfg.components, params["components"], raws)):
+        if _fused_reparam_eligible(comp, cp):
+            mu, scale, k = comp.posterior_params_from_raw(cp, raw)
+            sig_t = jnp.broadcast_to(scale, mu.shape).T
+            eps = jax.random.normal(jax.random.fold_in(ck, ci),
+                                    (comp.dim, chunk_size, mu.shape[0]),
+                                    mu.dtype)
+            zt, lq, lp = manifold_kernels.wrapped_reparam_stereo_t(
+                eps, mu.T, sig_t, k, wraps=comp.wraps,
+                sign=comp.manifold.curvature_sign)
+        else:
+            rep = jax.vmap(
+                lambda kk: reparametrize(kk, comp, cp, feats, raw=raw))(
+                    comp_keys[:, ci])
+            zt, lq, lp = jnp.moveaxis(rep.z, -1, 0), rep.log_q, rep.log_p
+        zts.append(zt)
+        log_q = log_q + lq
+        log_p = log_p + lp
+    # (Z, chunk, B) -> (chunk, Z, B): the decoder kernel's layout (one
+    # cheap leading-axes swap; Z stays off the minor dims either way)
+    return jnp.moveaxis(jnp.concatenate(zts, axis=0), 0, 1), log_q, log_p
+
+
 def forward_from_features(key, cfg: VAEConfig, params, x, feats) -> Forward:
     """Reparameterize + decode from precomputed encoder features (the IWAE
     path encodes once and draws many importance samples from the same q)."""
@@ -207,7 +262,10 @@ def _fused_decoder_eligible(cfg: VAEConfig, params) -> bool:
     dec = params["decoder"]
     if dec["out"]["w"].dtype != jnp.float32:
         return False
-    return cfg.flat_dim <= 1024 and cfg.h_dim <= 1024
+    # the kernel sizes its lane block from (Z, H, D) to fit VMEM; shapes
+    # where not even a 128-lane block fits take the jnp path
+    return decoder_kernels._block_lanes(cfg.z_dim, cfg.h_dim,
+                                        cfg.flat_dim) >= 128
 
 
 def log_likelihood(key, cfg: VAEConfig, params, x, n_samples: int = 500,
@@ -247,21 +305,23 @@ def log_likelihood(key, cfg: VAEConfig, params, x, n_samples: int = 500,
         fwd = forward_from_features(sk, cfg, params, x, feats)
         return fwd.log_px_z + fwd.log_p - fwd.log_q
 
-    def one_chunk_fused(ck):
-        from ..kernels.decoder_kernels import fused_decode_bce
-        sks = jax.random.split(ck, chunk_size)
-        z, log_q, log_p, _, _ = jax.vmap(
-            lambda sk: _reparam_components(sk, cfg, params, feats))(sks)
+    def one_chunk_fused(ck, xt):
+        from ..kernels.decoder_kernels import fused_decode_bce_t
+        zt, log_q, log_p = _reparam_chunk_t(ck, cfg, params, feats,
+                                            chunk_size)
         dec = params["decoder"]
-        x_flat = x.reshape(x.shape[0], cfg.flat_dim).astype(jnp.float32)
-        ll = fused_decode_bce(z, x_flat, dec["layers"][0]["w"],
-                              dec["layers"][0]["b"], dec["out"]["w"],
-                              dec["out"]["b"])
+        ll = fused_decode_bce_t(zt, xt, dec["layers"][0]["w"],
+                                dec["layers"][0]["b"], dec["out"]["w"],
+                                dec["out"]["b"])
         return ll + log_p - log_q
+
+    if fused:
+        xt = jnp.swapaxes(x.reshape(x.shape[0], cfg.flat_dim), 0,
+                          1).astype(jnp.float32)
 
     def one_chunk(ck):
         if fused:
-            return one_chunk_fused(ck)
+            return one_chunk_fused(ck, xt)
         # estimator-grade fallback (conv / deep / bf16 decoders): pin true
         # f32 GEMMs — XLA's TPU default for f32 dots is ONE bf16 pass,
         # ~1 nat of per-sample log p(x|z) error. The encoder (outside the

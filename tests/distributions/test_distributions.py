@@ -90,6 +90,29 @@ class TestWrappedNormal:
             assert np.all(np.isfinite(np.asarray(gi))), (kind, k0)
 
 
+class TestWrappedNormalNormalizationStrict:
+    """One seed-pinned TIGHT normalization check (round-2 ADVICE #5: the
+    parameterized sweep was loosened to rtol=0.08 / 40k samples for suite
+    time; this single spherical case keeps a high-sensitivity regression
+    guard on the log-det at fast-profile cost)."""
+
+    def test_sphere_tight(self):
+        man = Manifold("s", 3)
+        k = F64(1.0)
+        n = 160_000
+        mu1 = jnp.broadcast_to(man.exp_map_mu0(
+            jnp.asarray([0.3, -0.2, 0.4], F64), k), (n, man.ambient_dim))
+        mu2 = jnp.broadcast_to(man.exp_map_mu0(
+            jnp.asarray([-0.2, 0.1, 0.0], F64), k), (n, man.ambient_dim))
+        z, logq1 = wrapped_normal.sample_and_log_prob(
+            key(42), man, mu1, jnp.asarray(0.8, F64), k)
+        logq2 = wrapped_normal.log_prob(man, z, mu2, jnp.asarray(1.1, F64), k)
+        est = jax.scipy.special.logsumexp(logq2 - logq1) - np.log(n)
+        # seed-pinned: at key(42) the estimate is ~1.000 +/- MC noise; the
+        # old pre-loosening bar was rtol=0.05 at 100k draws
+        np.testing.assert_allclose(np.exp(est), 1.0, rtol=0.04)
+
+
 class TestWrappedNormalCrossModel:
     def test_h_equals_d_under_isometry(self):
         """Lorentz and Poincare wrapped normals are the same measure: log_prob

@@ -146,8 +146,8 @@ class TestTrainer:
         of (seed, batch index) — identical across passes — while the model
         key keeps advancing (fresh IWAE draws)."""
         tr = make_trainer(tmp_path, epochs=1, eval_binarize="fixed")
-        kb1, km1 = tr._eval_keys(3)
-        kb2, km2 = tr._eval_keys(3)
+        kb1, km1 = tr._eval_keys(3, 8)
+        kb2, km2 = tr._eval_keys(3, 8)
         assert jax.random.key_data(kb1).tolist() == \
             jax.random.key_data(kb2).tolist()
         assert jax.random.key_data(km1).tolist() != \
@@ -155,10 +155,27 @@ class TestTrainer:
         assert np.isfinite(tr.evaluate_log_likelihood())
         # dynamic mode: binarization key changes too
         tr2 = make_trainer(tmp_path / "dyn", epochs=1)
-        kb1, _ = tr2._eval_keys(3)
-        kb2, _ = tr2._eval_keys(3)
+        kb1, _ = tr2._eval_keys(3, 8)
+        kb2, _ = tr2._eval_keys(3, 8)
         assert jax.random.key_data(kb1).tolist() != \
             jax.random.key_data(kb2).tolist()
+
+    def test_fixed_binarization_invariant_to_eval_batch_size(self, tmp_path):
+        """The pinned test set must be a pure function of (seed, example
+        index): two different eval batch sizes produce the SAME binarized
+        examples (round-2 VERDICT weak #6 — the batch-index keying silently
+        re-binarized the split when eval_batch_size changed)."""
+        from mvae_tpu.data.base import binarize_rows
+        tr = make_trainer(tmp_path, epochs=1, eval_binarize="fixed")
+        data = tr._test_data
+        out = {}
+        for bs in (16, 64):
+            batches, _, n = tr._split_batches(data, bs)
+            k_bins, _ = tr._eval_keys(batches.shape[0], bs)
+            xb = jax.vmap(lambda kb, b: binarize_rows(kb, b, True))(
+                k_bins, batches)
+            out[bs] = np.asarray(xb).reshape(-1, data.shape[-1])[:n]
+        np.testing.assert_array_equal(out[16], out[64])
 
     def test_checkpoint_resume(self, tmp_path):
         tr = make_trainer(tmp_path, epochs=2)

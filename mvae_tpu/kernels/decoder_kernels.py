@@ -14,10 +14,17 @@ Why it exists (all measured on TPU v5e, see roofline.py):
 * **Precision.** XLA's *default* f32 dot on TPU is a single bf16 pass:
   the unfused jnp eval path silently carries up to ~1 nat of per-sample
   log p(x|z) error, which an estimator chasing a 0.1-nat reproduction
-  target cannot absorb. Both GEMMs here run as THREE bf16 MXU passes
-  over hi/lo splits of the f32 operands (max error ~2e-3 nats per
-  784-pixel row vs a full-f32 oracle) at half the passes of XLA's
-  6-pass Precision.HIGHEST - ~4x faster at the op level.
+  target cannot absorb. Both GEMMs here compute the three bf16 product
+  terms of the hi/lo split (hi*hi + hi*lo + lo*hi, f32 accumulation; the
+  dropped lo*lo term is O(2^-16)) as ONE MXU dot over operands
+  CONCATENATED along the contraction axis - [zh zl zh] @ [w_hi w_hi
+  w_lo]^T. One K=3Z dot issues a third of the passes of three K=Z dots
+  (K pads to the 128-deep systolic array either way), which at this
+  model's tiny latent dims is where the MXU time goes: measured on v5e
+  at the production IWAE shape (S=125, B=2048, Z=8, H=400, D=784),
+  3.02 ms vs 3.76 ms for the 3-dot form (84 vs 65 Tmac/s counted at 3x
+  MACs) with identical accuracy (max err ~2e-3 nats per 784-pixel row
+  vs a full-f32 oracle, same as 3-dot).
 * **Fusion.** ``h`` and ``logits`` never round-trip HBM (~9.5 KB/row
   saved), and the x tile is fetched once per batch block and REUSED
   across the whole importance-sample grid axis.
@@ -51,17 +58,18 @@ BLOCK_C = 512  # max batch lanes per tile (hardware-validated at D=784, H=400)
 
 # VMEM working-set proxy, in bytes, calibrated so the hardware-validated
 # (Z=8, H=400, D=784, block=512) configuration sits exactly at the budget:
-# weights 2x(hi+lo) bf16 + double-buffered per-lane tiles (x, h + its bf16
-# splits, logits + bce term). Larger (D, H) shrink the block instead of
-# blowing past VMEM at Mosaic compile (round-2 ADVICE #4).
-_VMEM_BUDGET = 4 * 400 * (8 + 784) + 2 * 512 * (12 * 784 + 8 * 400)
+# concat-K bf16 weights (3 segments each) + double-buffered per-lane tiles
+# (x, h + its 3-segment bf16 concat, logits + bce term). Larger (D, H)
+# shrink the block instead of blowing past VMEM at Mosaic compile
+# (round-2 ADVICE #4).
+_VMEM_BUDGET = 6 * 400 * (8 + 784) + 2 * 512 * (12 * 784 + 10 * 400)
 
 
 def _block_lanes(Z: int, H: int, D: int) -> int:
     """Largest lane-block (multiple of 128, <= BLOCK_C) within the budget;
     0 if even 128 lanes don't fit (ineligible shape)."""
-    weights = 4 * H * (Z + D)
-    per_lane = 2 * (12 * D + 8 * H)
+    weights = 6 * H * (Z + D)
+    per_lane = 2 * (12 * D + 10 * H)
     blk = (_VMEM_BUDGET - weights) // per_lane
     return max(0, min(BLOCK_C, (blk // 128) * 128))
 
@@ -82,26 +90,33 @@ def _split(a):
     return hi, lo
 
 
-def _mm3(wh, wl, xh, xl):
-    """~f32-accurate (M,K)@(K,N) from pre-split bf16 operands (3 MXU
-    passes, f32 accumulation; the dropped lo@lo term is O(2^-16))."""
-    dn = (((1,), (0,)), ((), ()))
-    return (jax.lax.dot_general(wh, xh, dn,
-                                preferred_element_type=jnp.float32)
-            + jax.lax.dot_general(wh, xl, dn,
-                                  preferred_element_type=jnp.float32)
-            + jax.lax.dot_general(wl, xh, dn,
-                                  preferred_element_type=jnp.float32))
+def _cat_weight(w):
+    """(K, M) f32 weight -> (M, 3K) bf16 ``[hi | hi | lo]`` concat-K
+    operand: dotted against the activation's ``[xh ; xl ; xh]`` stack it
+    yields hi@xh + hi@xl + lo@xh in ONE MXU pass (f32 accumulation)."""
+    hi, lo = _split(w.T)
+    return jnp.concatenate([hi, hi, lo], axis=1)
 
 
-def _decode_bce_kernel(zt_ref, xt_ref, w1h_ref, w1l_ref, b1_ref, w2h_ref,
-                       w2l_ref, b2_ref, o_ref):
+_DN = (((1,), (0,)), ((), ()))
+
+
+def _mm_cat(wc, x):
+    """~f32-accurate (M,3K)@(K,N): stacks the bf16 hi/lo split of x along
+    the contraction axis to match the ``[hi | hi | lo]`` weight concat
+    (the dropped lo@lo term is O(2^-16))."""
+    xh, xl = _split(x)
+    xcat = jnp.concatenate([xh, xl, xh], axis=0)
+    return jax.lax.dot_general(wc, xcat, _DN,
+                               preferred_element_type=jnp.float32)
+
+
+def _decode_bce_kernel(zt_ref, xt_ref, w1c_ref, b1_ref, w2c_ref, b2_ref,
+                       o_ref):
     s = pl.program_id(1)
-    zh, zl = _split(zt_ref[0])                        # (Z, BLOCK)
-    ht = _mm3(w1h_ref[:], w1l_ref[:], zh, zl) + b1_ref[:]   # (H, BLOCK)
+    ht = _mm_cat(w1c_ref[:], zt_ref[0]) + b1_ref[:]         # (H, BLOCK)
     ht = jnp.maximum(ht, 0.0)
-    hh, hl = _split(ht)
-    logits = _mm3(w2h_ref[:], w2l_ref[:], hh, hl) + b2_ref[:]  # (D, BLOCK)
+    logits = _mm_cat(w2c_ref[:], ht) + b2_ref[:]            # (D, BLOCK)
     # stable x*l - softplus(l); pixel sum = cross-sublane reduction
     t = xt_ref[:] * logits - (jnp.maximum(logits, 0.0)
                               + jnp.log1p(jnp.exp(-jnp.abs(logits))))
@@ -140,8 +155,8 @@ def fused_decode_bce_t(zt, xt, w1, b1, w2, b2):
             [zt, jnp.zeros((S, Z, pad), zt.dtype)], axis=2)
         xt = jnp.concatenate([xt, jnp.zeros((D, pad), xt.dtype)], axis=1)
     bp = B + pad
-    w1h, w1l = _split(w1.T)                           # (H, Z)
-    w2h, w2l = _split(w2.T)                           # (D, H)
+    w1c = _cat_weight(w1)                             # (H, 3Z)
+    w2c = _cat_weight(w2)                             # (D, 3H)
     sp = -(-S // 8) * 8  # out rows padded to a sublane multiple
 
     out = pl.pallas_call(
@@ -152,15 +167,11 @@ def fused_decode_bce_t(zt, xt, w1, b1, w2, b2):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((D, block), lambda b, s: (0, b),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((H, Z), lambda b, s: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((H, Z), lambda b, s: (0, 0),
+            pl.BlockSpec((H, 3 * Z), lambda b, s: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((H, 1), lambda b, s: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((D, H), lambda b, s: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((D, H), lambda b, s: (0, 0),
+            pl.BlockSpec((D, 3 * H), lambda b, s: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((D, 1), lambda b, s: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -169,5 +180,5 @@ def fused_decode_bce_t(zt, xt, w1, b1, w2, b2):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((sp, bp), jnp.float32),
         interpret=jax.default_backend() == "cpu",
-    )(zt, xt, w1h, w1l, b1[:, None], w2h, w2l, b2[:, None])
+    )(zt, xt, w1c, b1[:, None], w2c, b2[:, None])
     return out[:S, :B]

@@ -368,7 +368,7 @@ def _make_reparam_kernel(n: int, wraps: int, sign: int):
     XLA on v5e because narrow rows idle 7/8 sublanes / axis-1 reductions
     relayout per sample."""
 
-    def kernel(eps_ref, mu_ref, sig_ref, ls_ref, smin_ref, k_ref,
+    def kernel(eps_ref, mu_ref, sig_ref, ls_ref, smin_ref, x2_ref, k_ref,
                zt_ref, lq_ref, lp_ref):
         eps = eps_ref[:]                              # (n, 8, L)
         mu = mu_ref[:]                                # (n, 1, L)
@@ -383,7 +383,7 @@ def _make_reparam_kernel(n: int, wraps: int, sign: int):
         vsq = jnp.sum(v * v, axis=0)                  # (8, L)
         xv = jnp.sum(mu * v, axis=0)
         s2 = jnp.sum(eps * eps, axis=0)               # = sum((v/sig)^2)
-        x2 = jnp.sum(mu * mu, axis=0)                 # (1, L), row-bcast
+        x2 = x2_ref[0]        # sum(mu*mu) hoisted out of the sample grid
         ls = ls_ref[0]                                # sum(log sig), hoisted
         smin = smin_ref[0]                            # min sig, hoisted
 
@@ -391,9 +391,11 @@ def _make_reparam_kernel(n: int, wraps: int, sign: int):
         g = 0.5 * _tandiv_u_sgn(k * vsq / 4.0, sign)
         if sign <= 0:
             negk = jnp.minimum(k, -tin)
-            max2 = (1.0 - e) * (1.0 - e) / (-negk)    # ball radius^2 (K<0)
+            # ball radius (K<0); k is an SMEM scalar so smax is scalar math
+            smax = jnp.sqrt((1.0 - e) * (1.0 - e) / (-negk))
             g = g * jnp.where(k < 0, jnp.minimum(
-                1.0, jnp.sqrt(max2 / jnp.maximum(g * g * vsq, tin))), 1.0)
+                1.0, smax * jax.lax.rsqrt(jnp.maximum(g * g * vsq, tin))),
+                1.0)
 
         # z = mobius_add(mu, g*v) via per-sample scalar coefficients
         gxv = g * xv
@@ -402,13 +404,14 @@ def _make_reparam_kernel(n: int, wraps: int, sign: int):
         b = (1.0 + k * x2) * g                        # coefficient of v
         den = 1.0 - 2.0 * k * gxv + k * k * x2 * g2v
         den = jnp.where(jnp.abs(den) < 1e-6, 1e-6, den)
-        p = a / den
-        q = b / den
+        inv_den = 1.0 / den                   # ONE (8, L) reciprocal: a
+        p = a * inv_den                       # division per full-width
+        q = b * inv_den                       # element costs 6x more
         z = p[None] * mu + q[None] * v                # (n, 8, L)
         zn2 = jnp.sum(z * z, axis=0)
         if sign <= 0:
             scale = jnp.where(k < 0, jnp.minimum(   # final project() clamp
-                1.0, jnp.sqrt(max2 / jnp.maximum(zn2, tin))), 1.0)
+                1.0, smax * jax.lax.rsqrt(jnp.maximum(zn2, tin))), 1.0)
             z = z * scale[None]
             zn2 = jnp.maximum(zn2 * scale * scale, 0.0)
         zt_ref[:] = z
@@ -423,7 +426,8 @@ def _make_reparam_kernel(n: int, wraps: int, sign: int):
         cb = 1.0 + k * x2                             # z coefficient
         denw = 1.0 + 2.0 * k * muz + k * k * x2 * zn2
         denw = jnp.where(jnp.abs(denw) < 1e-6, 1e-6, denw)
-        wv = (cb[None] * z - ca[None] * mu) / denw[None]
+        inv_denw = 1.0 / denw                         # (8, L), as above
+        wv = (cb[None] * z - ca[None] * mu) * inv_denw[None]
         w2 = jnp.sum(wv * wv, axis=0)
         rp = 2.0 * jnp.sqrt(w2 + tin) * _arctandiv_u_sgn(k * w2, sign)
         rp2 = rp * rp
@@ -524,9 +528,12 @@ def wrapped_reparam_stereo_t(eps, mu_t, sigma_t, k, wraps: int = 1,
     bp = b0 + pad
     sigma_t = jnp.where(sigma_t > 0, sigma_t, 1.0)
     # per-example scalars hoisted out of the sample grid axis (computing
-    # them in-kernel would redo an (n, B) log/min pass S times over)
+    # them in-kernel would redo an (n, B) pass S/8 times over — and mu's
+    # (n, 1, B) tiles run at 1/8 sublane occupancy in-kernel, so the Gram
+    # row is 6x cheaper out here too)
     ls_row = jnp.sum(jnp.log(sigma_t), axis=0, keepdims=True)[None]
     smin_row = jnp.min(sigma_t, axis=0, keepdims=True)[None]
+    x2_row = jnp.sum(mu_t * mu_t, axis=0, keepdims=True)[None]
     mu3 = mu_t[:, None, :]                            # (n, 1, B)
     sig3 = sigma_t[:, None, :]
 
@@ -539,6 +546,8 @@ def wrapped_reparam_stereo_t(eps, mu_t, sigma_t, k, wraps: int = 1,
             pl.BlockSpec((n, 1, block), lambda b, s: (0, 0, b),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n, 1, block), lambda b, s: (0, 0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block), lambda b, s: (0, 0, b),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, block), lambda b, s: (0, 0, b),
                          memory_space=pltpu.VMEM),
@@ -560,7 +569,7 @@ def wrapped_reparam_stereo_t(eps, mu_t, sigma_t, k, wraps: int = 1,
             jax.ShapeDtypeStruct((sp, bp), eps.dtype),
         ),
         interpret=_interpret(),
-    )(eps, mu3, sig3, ls_row, smin_row,
+    )(eps, mu3, sig3, ls_row, smin_row, x2_row,
       jnp.reshape(k, (1,)).astype(eps.dtype))
     return z[:, :S, :b0], lq[:S, :b0], lp[:S, :b0]
 

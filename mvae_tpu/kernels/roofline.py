@@ -78,48 +78,127 @@ def _interp():
 
 
 # ------------------------------------------------------------- measurement
-def measure(fn, args, iters=(ITERS_LO, ITERS_HI), repeats=5):
-    """Marginal seconds per op application via scan differencing."""
-    def make(n_op, total):
-        @jax.jit
-        def run(x, rest):
-            def body(carry, i):
-                x, acc = carry
-                x = x + 1e-9
+def _make_scan(fn, n_iter, tag, with_op, feedback=False):
+    """Jitted scan of n_iter iterations, each mutating the input (unique
+    work, no hoisting/caching) and — when with_op — applying `fn` and
+    consuming one element of its output. NO lax.cond: on TPU the cond
+    lowers with a COPY of the big operand into the branch computation
+    (~the same cost as a triad pass over it), so a cond-based on/off
+    differencing measures op-minus-copy, not the op (this is how round 2's
+    'sane-looking' calibrations still overpriced the stream 2.7x once the
+    copy was subtracted out by a correct measurement). `tag` names the XLA
+    module so its device-time events are identifiable in a trace."""
+    def body_scan(x, rest):
+        def body(carry, _):
+            x, acc = carry
+            x = x + 1e-9
+            if with_op and feedback:
+                # output IS the next carry: forces the FULL result of a
+                # bare XLA op (a dot consumed at one element gets sliced
+                # to a single row x column product otherwise)
+                x = fn(x, *rest)
+                acc = acc + x.reshape(-1)[0]
+            elif with_op:
+                out = fn(x, *rest)
+                if not isinstance(out, tuple):
+                    out = (out,)
+                for o in out:
+                    acc = acc + jnp.sum(o.reshape(-1)[:1])
+            else:
+                acc = acc + x.reshape(-1)[0]
+            return (x, acc), None
 
-                def with_op(x):
-                    out = fn(x, *rest)
-                    if isinstance(out, tuple):
-                        acc2 = acc
-                        for o in out:
-                            acc2 = acc2 + jnp.sum(o.reshape(-1)[:1])
-                        return acc2
-                    return acc + jnp.sum(out.reshape(-1)[:1])
+        (x, acc), _ = jax.lax.scan(body, (x, jnp.float32(0)), None,
+                                   length=n_iter)
+        return acc
 
-                def without_op(x):
-                    return acc + x.reshape(-1)[0]
+    body_scan.__name__ = tag
+    return jax.jit(body_scan)
 
-                acc2 = jax.lax.cond(i < n_op, with_op, without_op, x)
-                return (x, acc2), None
 
-            (x, acc), _ = jax.lax.scan(body, (x, jnp.float32(0)),
-                                       jnp.arange(total, dtype=jnp.int32))
-            return acc
-        return run
+_MEASURE_SEQ = [0]
+
+
+def _trace_device_ms(trace_dir, tags):
+    """Total on-device ms per tagged XLA module from a profiler trace."""
+    import collections
+    import glob
+    import gzip
+    import json as _json
+
+    out = collections.Counter()
+    for path in glob.glob(f"{trace_dir}/**/*.trace.json.gz", recursive=True):
+        for e in _json.loads(gzip.open(path).read()).get("traceEvents", []):
+            if e.get("ph") != "X" or "dur" not in e:
+                continue
+            name = e.get("name", "")
+            for tag in tags:
+                # the device execution event is named jit_<tag>(<hash>)
+                if name.startswith(f"jit_{tag}"):
+                    out[tag] += e["dur"] / 1e3
+    return out
+
+
+def measure(fn, args, iters=(ITERS_LO, ITERS_HI), repeats=2,
+            feedback=False):
+    """Marginal seconds per op application, measured on PROFILER DEVICE
+    TIME: four scans — {op, mutation-only} x {LO, HI iterations} — give
+    per-iteration marginals by length differencing, and the op's cost is
+    their difference (the mutation keeps every iteration's work unique).
+
+    Why not wall clock (round 2): on 2026-08-17 the axon relay showed
+    program-dependent phantom wall overhead of up to ~700 ms per call
+    (probe: an 8-op scan measured 1378 ms wall against 687 ms of fully-
+    accounted device time, while the 408-op variant measured wall ==
+    device + 40 ms), which inflated every rate 2-25x past hardware peaks.
+    Why not lax.cond on/off in one scan: see _make_scan — the branch copy
+    of the big operand silently subtracts a memcpy from every rate."""
+    import shutil
+    import tempfile
 
     x0, rest = args[0], args[1:]
-    t = {}
-    for n_op in iters:
-        run = make(n_op, iters[1] + 2)
+    _MEASURE_SEQ[0] += 1
+    lo, hi = iters
+    progs = {}
+    for n_iter in iters:
+        for with_op in (True, False):
+            tag = f"mz{_MEASURE_SEQ[0]}n{n_iter}{'op' if with_op else 'mut'}"
+            progs[(n_iter, with_op)] = (
+                tag, _make_scan(fn, n_iter, tag, with_op, feedback))
+    for tag, run in progs.values():
         float(run(x0, rest))  # compile + warm
-        best = 1e9
+
+    tmp = tempfile.mkdtemp(prefix="rlmeas_")
+    try:
+        jax.profiler.start_trace(tmp)
         for r in range(repeats):
             xr = x0 + (r + 1) * 1e-8
+            for tag, run in progs.values():
+                float(run(xr, rest))
+        jax.profiler.stop_trace()
+        dev_ms = _trace_device_ms(tmp, [t for t, _ in progs.values()])
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    if all(dev_ms[t] > 0 for t, _ in progs.values()):
+        per_iter_op = (dev_ms[progs[(hi, True)][0]]
+                       - dev_ms[progs[(lo, True)][0]]) / repeats / (hi - lo)
+        per_iter_mut = (dev_ms[progs[(hi, False)][0]]
+                        - dev_ms[progs[(lo, False)][0]]) / repeats / (hi - lo)
+        return max(per_iter_op - per_iter_mut, 1e-9) * 1e-3
+    # no device events captured (e.g. CPU interpret paths on some
+    # backends): wall-clock differencing of the op scans, best-of-N
+    t = {}
+    for n_iter in iters:
+        tag, run = progs[(n_iter, True)]
+        best = 1e9
+        for r in range(max(repeats, 3)):
+            xr = x0 + (r + 2) * 1e-8
             t0 = time.time()
             float(run(xr, rest))
             best = min(best, time.time() - t0)
-        t[n_op] = best
-    return (t[iters[1]] - t[iters[0]]) / (iters[1] - iters[0])
+        t[n_iter] = best
+    return (t[hi] - t[lo]) / (hi - lo)
 
 
 def _elementwise_call(kernel, x, out_like=None):
@@ -142,53 +221,106 @@ def _triad_kernel(x_ref, y_ref, o_ref):
 
 
 def _fma_kernel(x_ref, o_ref):
-    acc = x_ref[:]
-    for _ in range(64):
-        acc = acc * 1.0000001 + x_ref[:]
-    o_ref[:] = acc
+    # 8 INDEPENDENT chains of 8 FMAs each: a single 64-deep dependent
+    # chain measures VPU pipeline LATENCY, not throughput (observed 2x+
+    # underprice -> binding models the kernels then "beat"; VERDICT r2 #6)
+    x = x_ref[:]
+    accs = [x + float(j) for j in range(8)]
+    for _ in range(8):
+        accs = [a * 1.0000001 + x for a in accs]
+    o_ref[:] = sum(accs)
 
 
 def _tanh_kernel(x_ref, o_ref):
-    acc = x_ref[:]
-    for _ in range(16):
-        acc = jnp.tanh(acc)
-    o_ref[:] = acc
+    # 4 independent chains x 4 transcendentals (same latency-vs-throughput
+    # reasoning as _fma_kernel)
+    x = x_ref[:]
+    accs = [x + float(j) for j in range(4)]
+    for _ in range(4):
+        accs = [jnp.tanh(a) for a in accs]
+    o_ref[:] = sum(accs)
 
 
 def _reduce_kernel(x_ref, o_ref):
+    # 8 INDEPENDENT reductions tree-summed at the end (an acc-chained loop
+    # measures reduction latency, not throughput — same fix as _fma_kernel)
     x = x_ref[:]
-    acc = jnp.zeros((x.shape[0], 1), x.dtype)
-    for i in range(8):
-        acc = acc + jnp.sum(x + float(i), axis=1, keepdims=True)
+    accs = [jnp.sum(x + float(i), axis=1, keepdims=True) for i in range(8)]
+    acc = ((accs[0] + accs[1]) + (accs[2] + accs[3])) \
+        + ((accs[4] + accs[5]) + (accs[6] + accs[7]))
     o_ref[:] = jnp.broadcast_to(acc, o_ref.shape)
 
 
 def _transpose_kernel(x_ref, o_ref):
+    # 8 independent relayouts, tree-summed (same reasoning)
     p = x_ref[:, 0:8]                      # (BLK, 8)
-    acc = jnp.zeros((8, x_ref.shape[0]), x_ref.dtype)
-    for i in range(8):
-        acc = acc + (p + float(i)).T
+    accs = [(p + float(i)).T for i in range(8)]
+    acc = ((accs[0] + accs[1]) + (accs[2] + accs[3])) \
+        + ((accs[4] + accs[5]) + (accs[6] + accs[7]))
     o_ref[:] = jnp.broadcast_to(jnp.sum(acc, axis=0, keepdims=True).T,
                                 o_ref.shape)
 
 
-def _mxu_kernel(x_ref, o_ref):
-    # two INDEPENDENT 4-matmul chains so the MXU pipeline stays fed
-    x = x_ref[:].astype(jnp.bfloat16)
-    w = jnp.full((x_ref.shape[1], 128), 0.01, jnp.bfloat16)
+def _mxu_gemm(x, w):
+    # achievable-MXU calibration via XLA's hand-tuned big GEMM (bf16
+    # compute, f32 accumulate). Two traps this shape avoids:
+    # * a Pallas chained-dot probe underprices the MXU ~20% (Mosaic
+    #   requires 32-bit matmul accumulation, so every chain hop serializes
+    #   an f32->bf16 VPU cast with the matmuls; the decode kernel then
+    #   measured 104% of that "ceiling" — VERDICT r2 #6's leak, MXU form);
+    # * measure()'s generic one-element output consumption lets XLA SLICE
+    #   a bare dot to a single row x column dot (observed: "151,972
+    #   Tmac/s"), so the result must flow back into the carry in full —
+    #   done by the caller feeding fn's output into the next x. Four
+    #   chained GEMMs amortize that feedback add and the inter-hop casts
+    #   to ~5%.
+    w = w.astype(jnp.bfloat16)
     dn = (((1,), (0,)), ((), ()))
-    a = jax.lax.dot_general(x, w, dn, preferred_element_type=jnp.float32)
-    b = jax.lax.dot_general(x + 1.0, w, dn,
-                            preferred_element_type=jnp.float32)
-    for _ in range(3):
-        a = jax.lax.dot_general(a.astype(jnp.bfloat16), w, dn,
+    for _ in range(4):
+        x = jax.lax.dot_general(x.astype(jnp.bfloat16), w, dn,
                                 preferred_element_type=jnp.float32)
-        b = jax.lax.dot_general(b.astype(jnp.bfloat16), w, dn,
-                                preferred_element_type=jnp.float32)
-    o_ref[:] = a + b
+        x = x * 1e-2  # keep magnitudes bounded across hops/iterations
+    return x
 
 
-def calibrate():
+# Physical rate bounds for calibration sanity (TPU v5e spec sheet): a
+# MEASURED rate above the hardware's peak proves the measurement broke, not
+# that the chip got faster. On this box (ONE host core) that happens
+# whenever another process holds the core mid-calibration: the wall-clock
+# scan differencing loses its signal and rates explode 3-13x (observed:
+# stream "2134 GB/s", mxu "1222 Tmac/s" with a concurrent pytest run).
+MXU_TMACS_PEAK = 98.5   # 197 bf16 Tflop/s
+_SANITY = {"stream_gbps": (100.0, 1.05 * HBM_GBPS_NOMINAL),
+           "mxu_tmacs": (10.0, 1.05 * MXU_TMACS_PEAK)}
+
+
+class CalibrationError(RuntimeError):
+    pass
+
+
+def calibrate(retries: int = 1):
+    """Measure machine rates; re-measure once and finally RAISE if any rate
+    lands outside its physical bounds (callers fall back to nominal or
+    abort — a roofline priced off a broken calibration is worse than
+    none)."""
+    cal = _calibrate_once()
+    for _ in range(retries):
+        bad = [k for k, (lo, hi) in _SANITY.items()
+               if not lo <= cal[k] <= hi]
+        if not bad:
+            return cal
+        _log(f"  calibration IMPLAUSIBLE ({bad}); re-measuring...")
+        cal = _calibrate_once()
+    bad = [k for k, (lo, hi) in _SANITY.items() if not lo <= cal[k] <= hi]
+    if bad:
+        raise CalibrationError(
+            f"calibrated rates outside physical bounds: "
+            f"{ {k: round(cal[k], 1) for k in bad} } — is another process "
+            f"loading the (single) host core?")
+    return cal
+
+
+def _calibrate_once():
     x = jax.random.normal(jax.random.key(0), (B, N)) * 0.05
     y = jax.random.normal(jax.random.key(1), (B, N)) * 0.05
     cal = {}
@@ -221,8 +353,11 @@ def calibrate():
     t = measure(lambda x: _elementwise_call(_transpose_kernel, x), (x,))
     cal["transpose_us"] = t / (B / BLK) / 8 * 1e6
 
-    t = measure(lambda x: _elementwise_call(_mxu_kernel, x), (x,))
-    cal["mxu_tmacs"] = B * N * 128 * 8 / t / 1e12
+    M = 4096
+    xg = jax.random.normal(jax.random.key(2), (M, M), jnp.float32)
+    wg = jax.random.normal(jax.random.key(3), (M, M), jnp.float32)
+    t = measure(_mxu_gemm, (xg, wg), feedback=True)
+    cal["mxu_tmacs"] = 4 * M * M * M / t / 1e12
 
     # per-vreg VPU rates: a (2048, 128) f32 pass is 2048*128/(8*128) = 256
     # lane-vregs; compact (1, B) rows cost B/128 vregs per op
@@ -272,17 +407,17 @@ def _skel_dist(out_rows):
     return read2_rowstore
 
 
-def _skel_reparam(eps, mu3, sig3, ls, smin, k):
+def _skel_reparam(eps, mu3, sig3, ls, smin, x2, k):
     """wrapped_reparam_stereo_t's exact grid/specs, near-empty body.
     eps (n, S, B) with S % 8 == 0 and B % block == 0."""
     n, sp, bp = eps.shape
     block = mk._REPARAM_BLK
 
-    def body(eps_ref, mu_ref, sig_ref, ls_ref, smin_ref, k_ref,
+    def body(eps_ref, mu_ref, sig_ref, ls_ref, smin_ref, x2_ref, k_ref,
              zt_ref, lq_ref, lp_ref):
         zt_ref[:] = eps_ref[:]
         c = mu_ref[0, 0, 0] + sig_ref[0, 0, 0] + ls_ref[0, 0, 0] \
-            + smin_ref[0, 0, 0] + k_ref[0]
+            + smin_ref[0, 0, 0] + x2_ref[0, 0, 0] + k_ref[0]
         lq_ref[:] = jnp.full((8, block), c, eps_ref.dtype)
         lp_ref[:] = jnp.full((8, block), c, eps_ref.dtype)
 
@@ -294,6 +429,8 @@ def _skel_reparam(eps, mu3, sig3, ls, smin, k):
             pl.BlockSpec((n, 1, block), lambda b, s: (0, 0, b),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n, 1, block), lambda b, s: (0, 0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block), lambda b, s: (0, 0, b),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, block), lambda b, s: (0, 0, b),
                          memory_space=pltpu.VMEM),
@@ -315,15 +452,179 @@ def _skel_reparam(eps, mu3, sig3, ls, smin, k):
             jax.ShapeDtypeStruct((sp, bp), eps.dtype),
         ),
         interpret=_interp(),
-    )(eps, mu3, sig3, ls, smin, k)
+    )(eps, mu3, sig3, ls, smin, x2, k)
+
+
+# Stereo-distance synthetic twin: _skel_dist('rowstore')'s I/O + a LOWER
+# BOUND of the kernel's tail op volume in generic FMAs — 3 products over
+# the full (BLK, N) tiles feeding 3 INDEPENDENT keepdims-reductions, the
+# one (B, 3) -> (3, B) pack relayout, then the per-row scalar tail.
+# Volume: the jaxpr of the kernel's tail math at (1, 2048) has ~99 vector
+# primitives (converts/scalar-broadcasts dropped) — 41 mul, 26 add/sub,
+# 32 other (div/sqrt/select/compare/min/max/abs/sign/neg). A CEILING must
+# resolve model ambiguity DOWNWARD (a floor the kernel cannot beat), so
+# the twin assumes Mosaic's best case: every add/sub fuses into a mul
+# (FMA) and abs/neg/sign fold into neighboring ops as operand modifiers
+# -> ~67 hardware ops, arranged at the DAG's ILP width (~3: a/b/den are
+# independent; the series window and both arctandiv closed branches are
+# independent chains merged by selects). Mid-estimate twins (73 serial-2
+# and 102 width-3 ops) both measured SLOWER than the kernel — the fusion
+# ambiguity is ~1.4x, so only the bound is honest.
+_STWIN_PREFIX_OPS = 9
+_STWIN_CHAIN_OPS = 18    # each of three independent chains
+_STWIN_MERGE_OPS = 4
+
+
+def _twin_stereo(x, y, resident=False):
+    """resident=True prices the COMPUTE resource in isolation (the roofline
+    convention: each resource at 100% efficiency): a constant index_map
+    keeps the same input block VMEM-resident across the whole grid, so the
+    twin's time is pure VPU work. resident=False keeps the kernel's real
+    streaming I/O — measured 0.7-5% ABOVE the real kernel in four
+    arrangements (serial-2/width-3, 67-102 ops), i.e. the kernel is AT the
+    achievable compute+DMA overlap for its volume; the residual vs the
+    bare DMA skeleton is overlap drain any body pays, not headroom."""
+    nb = B // BLK
+    nbp = -(-nb // 8) * 8
+    in_map = (lambda i: (0, 0)) if resident else (lambda i: (i, 0))
+
+    def body(x_ref, y_ref, o_ref):
+        i = pl.program_id(0)
+        xx = x_ref[:]
+        yy = y_ref[:]
+        r1 = jnp.sum(xx * xx, axis=1, keepdims=True)
+        r2 = jnp.sum(yy * yy, axis=1, keepdims=True)
+        r3 = jnp.sum(xx * yy, axis=1, keepdims=True)
+        packed = jnp.concatenate([r1, r2, r3], axis=1).T       # (3, B)
+        t = packed[0:1] + packed[1:2] * 1.0000001 + packed[2:3]
+        for j in range(_STWIN_PREFIX_OPS):
+            t = t * 1.0000001 + 0.1
+        ta, tb, tc = t, t + 1.0, t + 2.0   # width-3 independent chains
+        for j in range(_STWIN_CHAIN_OPS):
+            if j == 5:
+                ta = jnp.sqrt(jnp.abs(ta) + 1e-6)
+                tb = jnp.sqrt(jnp.abs(tb) + 1e-6)
+                tc = jnp.sqrt(jnp.abs(tc) + 1e-6)
+            elif j == 12:
+                ta = 1.0 / (jnp.abs(ta) + 1.0)
+                tb = jnp.exp(-jnp.abs(tb) * 1e-3)
+                tc = 1.0 / (jnp.abs(tc) + 1.0)
+            else:
+                ta = ta * 1.0000001 + 0.1
+                tb = tb * 1.0000002 + 0.1
+                tc = tc * 1.0000003 + 0.1
+        t = ta + tb * tc
+        for _ in range(_STWIN_MERGE_OPS):
+            t = t * 1.0000001 + 0.1
+        o_ref[i % 8, :] = t[0]
+
+    return pl.pallas_call(
+        body, grid=(nb,),
+        in_specs=[pl.BlockSpec((BLK, N), in_map,
+                               memory_space=pltpu.VMEM)] * 2,
+        out_specs=pl.BlockSpec((8, BLK), lambda i: (i // 8, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nbp, BLK), x.dtype),
+        interpret=_interp(),
+    )(x, y)
+
+
+# Reparam synthetic-twin op volume, from a static vreg count of
+# _make_reparam_kernel's sign=-1 body (the measured 'd' config; derivation
+# table in RESULTS_r3.md): ~21 serial full-width (n, 8, L) passes
+# (products/Gram sums/mobius combinations — 24 vregs per op at n=6,
+# L=512, internally 24-way parallel), then a (8, L) scalar tail shaped as
+# a shared prefix (exp_0 factor + mobius coefficients + preimage radius)
+# feeding TWO independent chains (the log q and log p density tails),
+# with the kernel's transcendental mix distributed where it occurs.
+_TWIN_FULL_OPS = 21
+_TWIN_PREFIX_OPS = 50
+_TWIN_CHAIN_OPS = 50
+_TWIN_TRANSC_EVERY = 12   # ~4 transcendental tile-ops per density chain
+
+
+def _twin_reparam(eps, mu3, sig3, ls, smin, x2, k):
+    """wrapped_reparam_stereo_t's exact grid/specs + a body that does the
+    kernel's COUNTED op volume in generic FMAs with the kernel's
+    dependency structure (serial full-width passes; a serial scalar
+    prefix; two independent density chains). Its measured time is the
+    structural VPU floor for this op count: generic FMAs are at least as
+    fast as the real mix (div/sqrt replaced by fma only lowers the
+    floor), so the real kernel cannot beat the twin except by timing
+    noise — 'ceiling' semantics a count-times-calibrated-rate model could
+    not deliver (the rate microbenchmarks are latency-biased; VERDICT r2
+    #6)."""
+    n, sp, bp = eps.shape
+    block = mk._REPARAM_BLK
+
+    def body(eps_ref, mu_ref, sig_ref, ls_ref, smin_ref, x2_ref, k_ref,
+             zt_ref, lq_ref, lp_ref):
+        ep = eps_ref[:]                               # (n, 8, L)
+        z = ep
+        for _ in range(_TWIN_FULL_OPS):
+            z = z * 1.0000001 + ep
+        zt_ref[:] = z
+        t = z[0] + mu_ref[0] + sig_ref[0]             # (8, L)
+        r = ls_ref[0, 0] + smin_ref[0, 0] + x2_ref[0, 0] + k_ref[0]
+        for i in range(_TWIN_PREFIX_OPS):
+            if i % _TWIN_TRANSC_EVERY == _TWIN_TRANSC_EVERY - 1:
+                t = jnp.exp(-jnp.abs(t) * 1e-3)
+            else:
+                t = t * 1.0000001 + r
+        tq, tp = t, t + 1.0
+        for i in range(_TWIN_CHAIN_OPS):
+            if i % _TWIN_TRANSC_EVERY == _TWIN_TRANSC_EVERY - 1:
+                tq = jnp.exp(-jnp.abs(tq) * 1e-3)
+                tp = jnp.exp(-jnp.abs(tp) * 1e-3)
+            else:
+                tq = tq * 1.0000001 + r
+                tp = tp * 1.0000002 + r
+        lq_ref[:] = tq
+        lp_ref[:] = tp
+
+    return pl.pallas_call(
+        body, grid=(bp // block, sp // 8),
+        in_specs=[
+            pl.BlockSpec((n, 8, block), lambda b, s: (0, s, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, 1, block), lambda b, s: (0, 0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, 1, block), lambda b, s: (0, 0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block), lambda b, s: (0, 0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block), lambda b, s: (0, 0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block), lambda b, s: (0, 0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((n, 8, block), lambda b, s: (0, s, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, block), lambda b, s: (s, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, block), lambda b, s: (s, b),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, sp, bp), eps.dtype),
+            jax.ShapeDtypeStruct((sp, bp), eps.dtype),
+            jax.ShapeDtypeStruct((sp, bp), eps.dtype),
+        ),
+        interpret=_interp(),
+    )(eps, mu3, sig3, ls, smin, x2, k)
 
 
 # ---------------------------------------------------------- reporting
 def _report(name, cal, per_op_s, n_bytes_total, t_dma_us, t_vpu_us,
             accuracy, results, xla_per_op_s=None, t_mxu_us=0.0,
-            model_counts=None):
+            model_counts=None, n_blocks=1):
+    """t_dma_us / t_vpu_us / t_mxu_us are PER-BLOCK model costs; the
+    binding time is max(resource) * n_blocks (grid blocks run serially on
+    the single TensorCore; DMA overlaps compute WITHIN the max)."""
     gbps = n_bytes_total / per_op_s / 1e9
-    t_model_us = max(t_dma_us, t_vpu_us, t_mxu_us)
+    t_model_us = max(t_dma_us, t_vpu_us, t_mxu_us) * n_blocks
     binding_gbps = n_bytes_total / (t_model_us * 1e-6) / 1e9
     row = {
         "kernel": name,
@@ -385,12 +686,23 @@ def main(out_path=None):
                      stereo_ops.exp_map_mu0(y0[:4096] * 10, kk), kk))
     t = measure(mk.stereo_distance, (x0, y0, kk))
     t_xla = measure(stereo_ops.distance, (x0, y0, kk))
-    counts = dict(reduces=3, transposes=1, tail_vregs=45 * (BLK // 128))
-    t_vpu = (3 * cal["reduce_us"] + cal["transpose_us"]
-             + counts["tail_vregs"] * cal["elem_vreg_us"])
-    _report("pallas stereo_distance", cal, t, B * (2 * N * 4 + 4),
-            t_skel_row / nb * 1e6, t_vpu, acc, results, xla_per_op_s=t_xla,
-            model_counts=counts)
+    # binding roofline convention: each resource priced in ISOLATION at
+    # 100% efficiency — DMA from the zero-compute skeleton, VPU from the
+    # VMEM-resident compute twin (lower-bound op volume, no streaming).
+    # The streaming twin (same I/O + compute) is also measured as
+    # EVIDENCE: it lands at/above the real kernel in every arrangement
+    # tried, so the kernel's gap to max(dma, vpu) is overlap drain any
+    # body pays, not recoverable headroom.
+    t_twin_c = measure(lambda x, y: _twin_stereo(x, y, resident=True),
+                       (x0, y0))
+    t_twin_s = measure(_twin_stereo, (x0, y0))
+    counts = dict(reduces=3, transposes=1, twin_prefix_ops=_STWIN_PREFIX_OPS,
+                  twin_chain_ops=_STWIN_CHAIN_OPS)
+    row = _report("pallas stereo_distance", cal, t, B * (2 * N * 4 + 4),
+                  t_skel_row / nb * 1e6, t_twin_c / nb * 1e6, acc, results,
+                  xla_per_op_s=t_xla, model_counts=counts, n_blocks=nb)
+    row["twin_compute_us_per_block"] = round(t_twin_c / nb * 1e6, 3)
+    row["twin_streaming_us_per_block"] = round(t_twin_s / nb * 1e6, 3)
 
     # --- lorentz distance: 1 fused product+reduce, tiny tail, block store
     xl = lorentz_ops.exp_map_mu0(x0[:, : N - 1] * 8, kk)
@@ -404,7 +716,7 @@ def main(out_path=None):
              + counts["tail_vregs"] * cal["elem_vreg_us"])
     _report("pallas lorentz_distance", cal, t, B * (2 * N * 4 + 4),
             t_skel_blk / nb * 1e6, t_vpu, acc, results, xla_per_op_s=t_xla,
-            model_counts=counts)
+            model_counts=counts, n_blocks=nb)
 
     # --- fused IWAE reparam at its PRODUCTION shape (d6 eval, B=2048,
     #     chunk 125): eps (S, n, B) -> z + exact log q + prior log p
@@ -419,6 +731,7 @@ def main(out_path=None):
         if sp8 != RS else eps0
     ls0 = jnp.sum(jnp.log(sig0), axis=0, keepdims=True)[None]
     smin0 = jnp.min(sig0, axis=0, keepdims=True)[None]
+    x20 = jnp.sum(mu0 * mu0, axis=0, keepdims=True)[None]
     mu3 = mu0[:, None, :]
     sig3 = sig0[:, None, :]
 
@@ -433,28 +746,29 @@ def main(out_path=None):
     t_xla = measure(lambda e, m, k: mk._wrapped_reparam_jnp(e, m, sig0, k),
                     (eps0, mu0, kk))
     t_skel = measure(
-        lambda e, m, k: _skel_reparam(e, m, sig3, ls0, smin0,
+        lambda e, m, k: _skel_reparam(e, m, sig3, ls0, smin0, x20,
                                       jnp.reshape(k, (1,))),
         (eps_pad, mu3, kk))
     # bytes: eps in + z out + (lq, lp) out + (mu, sigma) once
     rep_bytes = (2 * RS * RN * RB + 2 * RS * RB + 2 * RN * RB) * 4
     n_blocks = (RB // mk._REPARAM_BLK) * (sp8 // 8)
-    # VPU model per (n, 8, L) block (ALL tiles fully packed): ~22 full
-    # passes of n vregs each (elementwise chains over (n, 8, L)), ~16
-    # reduction adds, ~110 packed (8, L) tail ops and ~10 transcendental
-    # tail ops (sign-specialized d path; a transcendental ~ one transc
-    # pass per vreg)
-    vtile = mk._REPARAM_BLK // 128  # vregs per fully-packed (8, L) tile
-    counts = dict(full_pass_vregs=22 * RN * vtile, reduce_vregs=16 * vtile,
-                  tail_vregs=110 * vtile, transc_vregs=10 * vtile)
-    t_vpu = ((counts["full_pass_vregs"] + counts["reduce_vregs"]
-              + counts["tail_vregs"]) * cal["elem_vreg_us"]
-             + counts["transc_vregs"] * cal["transc_vreg_us"])
+    # VPU binding: the synthetic twin (same specs + counted op volume as
+    # generic FMAs — see _twin_reparam); compute-bound, so the twin's
+    # measured time IS the binding floor (its DMA overlaps inside it)
+    t_twin = measure(
+        lambda e, m, k: _twin_reparam(e, m, sig3, ls0, smin0, x20,
+                                      jnp.reshape(k, (1,))),
+        (eps_pad, mu3, kk))
+    counts = dict(twin_full_ops=_TWIN_FULL_OPS,
+                  twin_prefix_ops=_TWIN_PREFIX_OPS,
+                  twin_chain_ops=_TWIN_CHAIN_OPS)
     row = _report("pallas wrapped_reparam", cal, t, rep_bytes,
-                  t_skel / n_blocks * 1e6, t_vpu, acc, results,
-                  xla_per_op_s=t_xla, model_counts=counts)
+                  t_skel / n_blocks * 1e6, t_twin / n_blocks * 1e6, acc,
+                  results, xla_per_op_s=t_xla, model_counts=counts,
+                  n_blocks=n_blocks)
     row["shape"] = f"S={RS} n={RN} B={RB} (production IWAE chunk)"
     row["skeleton_us_per_block"] = round(t_skel / n_blocks * 1e6, 3)
+    row["twin_us_per_block"] = round(t_twin / n_blocks * 1e6, 3)
 
     # --- fused decoder+BCE: MXU-bound (3-pass hi/lo GEMMs)
     S, Bd, Z, H, D = 16, 2048, 8, 400, 784
@@ -485,19 +799,37 @@ def main(out_path=None):
     rows = S * Bd
     macs3 = rows * (Z * H + H * D) * 3
     tmacs = macs3 / t / 1e12
+    # Binding model: MXU time for the PADDED work the kernel actually asks
+    # of the systolic array, priced at physical peak — a ceiling no kernel
+    # can exceed (the calibrated-rate denominator used in round 2 could be
+    # beaten: the Pallas chained-dot calibration serialized casts with the
+    # matmuls and underpriced the MXU ~20%, VERDICT r2 #6). Per (block, s)
+    # grid tile the concat-K GEMMs issue M (weight rows, streamed) x
+    # ceil(K/128)*128 x block MACs; both K=3Z=24 and K=3H=1200 pad to the
+    # 128-deep array.
+    from .decoder_kernels import _block_lanes
+    blk_d = _block_lanes(Z, H, D)
+    n_tiles = (Bd // blk_d) * S
+    k1p = -(-3 * Z // 128) * 128
+    k2p = -(-3 * H // 128) * 128
+    padded_macs = n_tiles * blk_d * (H * k1p + D * k2p)
+    t_mxu_model_ms = padded_macs / (MXU_TMACS_PEAK * 1e12) * 1e3
     row = {
         "kernel": "pallas fused_decode_bce",
         "ms_per_op": round(t * 1e3, 3),
         "tmacs_3pass": round(tmacs, 1),
-        "pct_of_mxu_binding": round(100 * tmacs / cal["mxu_tmacs"], 1),
-        "mxu_binding_tmacs": round(cal["mxu_tmacs"], 1),
+        "binding_model_ms": round(t_mxu_model_ms, 3),
+        "pct_of_binding": round(100 * t_mxu_model_ms / (t * 1e3), 1),
+        "padded_gmacs": round(padded_macs / 1e9, 1),
+        "mxu_peak_tmacs": MXU_TMACS_PEAK,
+        "mxu_calib_tmacs": round(cal["mxu_tmacs"], 1),
         "speedup_vs_xla_f32": round(t_hi / t, 2),
         "speedup_vs_xla_default_bf16": round(t_def / t, 2),
         "max_abs_err_nats_vs_f32": round(err_fused, 5),
         "xla_default_err_nats_vs_f32": round(err_def, 5),
     }
-    _log(f"fused_decode_bce         {tmacs:5.1f} Tmac/s "
-         f"({row['pct_of_mxu_binding']}% of measured MXU; "
+    _log(f"fused_decode_bce         {tmacs:5.1f} Tmac/s counted "
+         f"({row['pct_of_binding']}% of padded-MAC peak ceiling; "
          f"{row['speedup_vs_xla_f32']}x vs XLA-f32, "
          f"{row['speedup_vs_xla_default_bf16']}x vs XLA-default-bf16; "
          f"err {err_fused:.1e} vs XLA-default err {err_def:.1e} nats)")

@@ -23,7 +23,20 @@ import time
 sys.path.insert(0, ".")
 sys.path.insert(0, "tests")
 
+import os
+
 import jax
+
+if os.environ.get("MVAE_FORCE_CPU"):
+    # In-process override, conftest-style. Env-level JAX_PLATFORMS=cpu is
+    # NOT equivalent in this container: the axon sitecustomize takes a
+    # different register() path under it and retry-loops on the relay
+    # socket when the TPU tunnel is down (observed 2026-08-17).
+    jax.config.update("jax_platforms", "cpu")
+    from jax.extend import backend as _jex_backend
+
+    _jex_backend.clear_backends()
+
 import numpy as np
 
 from mvae_tpu.components import parse_components

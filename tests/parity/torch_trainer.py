@@ -389,6 +389,9 @@ class TorchTrainerReplica:
         for s, noise in enumerate(step_noises):
             rows = perm[s * bs:(s + 1) * bs]
             x = _to_t(train_data[rows])
-            x_bin = (_to_t(noise["u_bin"]) < x).to(DT)
+            # binarize in the data shape (u_bin mirrors the Trainer's
+            # (bs,)+data_shape draw), then flatten for the MLP exactly as
+            # vae.encode does
+            x_bin = (_to_t(noise["u_bin"]) < x).to(DT).reshape(len(rows), -1)
             stats = self.train_step(x_bin, noise)
         return stats

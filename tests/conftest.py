@@ -33,7 +33,7 @@ jax.config.update("jax_enable_x64", True)
 # upgrade (the key includes the jax/XLA version).
 _CACHE_DIR = pathlib.Path(__file__).resolve().parent.parent / ".jax_test_cache"
 jax.config.update("jax_compilation_cache_dir", str(_CACHE_DIR))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 
 import gc

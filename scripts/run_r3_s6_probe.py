@@ -33,6 +33,16 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import jax
+
+if os.environ.get("MVAE_FORCE_CPU") == "1":
+    # env vars alone don't stop a wedged axon tunnel from blocking the
+    # first backend init (observed 2026-08-18: init HANGS instead of
+    # erroring); the conftest dance — config update + clear_backends
+    # before any backend touch — is the reliable CPU pin.
+    jax.config.update("jax_platforms", "cpu")
+    from jax.extend import backend as _jex_backend
+    _jex_backend.clear_backends()
+
 import jax.numpy as jnp
 import numpy as np
 

@@ -38,6 +38,30 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _probe_backend(timeout_s: float = 300.0) -> str | None:
+    """Initialize the accelerator backend in a THROWAWAY subprocess first.
+
+    A wedged TPU tunnel can make the first backend touch HANG indefinitely
+    (observed 2026-08-18: `jax.devices()` blocked >30 min with the axon
+    relay down, where a healthy init errors fast or succeeds in seconds).
+    If that happened in-process, the driver's bench capture would record
+    nothing at all; probing in a killable subprocess converts the hang
+    into a diagnostic JSON line. Returns the platform name, or None if
+    the backend is unreachable."""
+    import subprocess
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.devices()[0].platform)"],
+            capture_output=True, text=True, timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        return None
+    if r.returncode != 0:
+        return None
+    out = r.stdout.strip().splitlines()
+    return out[-1] if out else None
+
+
 def main():
     import optax
 
@@ -365,4 +389,13 @@ def main():
 
 
 if __name__ == "__main__":
+    if _probe_backend() is None:
+        # still ONE parseable JSON line for the driver, marking the cause
+        print(json.dumps({
+            "metric": "vae_train_steps_per_sec_per_chip",
+            "value": 0.0, "unit": "steps/s", "vs_baseline": 0.0,
+            "error": "accelerator backend unreachable (init hung or "
+                     "errored in probe subprocess; see BENCH notes)",
+        }))
+        sys.exit(1)
     main()

@@ -123,15 +123,21 @@ class Forward:
         self.curvatures = curvatures
 
 
-def _fused_head_raw(cfg: VAEConfig, params, feats):
-    """Run ALL components' mu/scale heads as ONE GEMM and slice per
-    component (tiny per-component matmuls dominated product-latent step
-    time on TPU); returns the list of raw head slices."""
+def _fused_head_raw_cat(cfg: VAEConfig, params, feats):
+    """ALL components' mu/scale heads as ONE GEMM: (..., sum head_width)
+    pre-activations in per-component [mu | scale] blocks."""
     ws, bs = [], []
     for comp, cp in zip(cfg.components, params["components"]):
         ws.extend((cp["w_mu"], cp["w_sig"]))
         bs.extend((cp["b_mu"], cp["b_sig"]))
-    raw_all = feats @ jnp.concatenate(ws, axis=1) + jnp.concatenate(bs)
+    return feats @ jnp.concatenate(ws, axis=1) + jnp.concatenate(bs)
+
+
+def _fused_head_raw(cfg: VAEConfig, params, feats):
+    """Run ALL components' mu/scale heads as ONE GEMM and slice per
+    component (tiny per-component matmuls dominated product-latent step
+    time on TPU); returns the list of raw head slices."""
+    raw_all = _fused_head_raw_cat(cfg, params, feats)
     raws, off = [], 0
     for comp in cfg.components:
         # the concat order (w_mu, w_sig) already matches the per-component
@@ -141,9 +147,34 @@ def _fused_head_raw(cfg: VAEConfig, params, feats):
     return raws
 
 
-def _reparam_components(key, cfg: VAEConfig, params, feats):
+def _fused_tail_eligible(cfg: VAEConfig, params) -> bool:
+    """The fused Pallas tail kernel (kernels/tail_kernels.py) covers the
+    WHOLE product latent in f32 when every component's (posterior, kind,
+    dim) is in its supported set; any other product takes the jnp path."""
+    from ..kernels import tail_kernels
+    if not tail_kernels.use_fused_tail():
+        return False
+    for cp in params["components"]:
+        if cp["w_mu"].dtype != jnp.float32:
+            return False
+    return all(tail_kernels.component_supported(c) for c in cfg.components)
+
+
+def _reparam_components(key, cfg: VAEConfig, params, feats,
+                        allow_fused: bool = True):
     """Per-component reparameterization from encoder features: returns the
-    concatenated latent plus summed log q / log p and per-component stats."""
+    concatenated latent plus summed log q / log p and per-component stats.
+
+    The production route on TPU is the fused Pallas tail kernel — the
+    entire per-component chain (head activations, draws, log-densities,
+    KLs) as ONE forward + ONE backward kernel instead of ~50 tiny XLA
+    fusions (kernels/tail_kernels.py). ``allow_fused=False`` opts out
+    where pallas_call can't run (e.g. TP-sharded params under GSPMD)."""
+    if allow_fused and _fused_tail_eligible(cfg, params):
+        from ..kernels import tail_kernels
+        raw_all = _fused_head_raw_cat(cfg, params, feats)
+        return tail_kernels.reparam_all(key, cfg.components,
+                                        params["components"], raw_all)
     keys = jax.random.split(key, len(cfg.components))
     raws = _fused_head_raw(cfg, params, feats)
     zs, log_qs, log_ps, kls, curvs = [], [], [], [], []
@@ -214,26 +245,31 @@ def _reparam_chunk_t(ck, cfg: VAEConfig, params, feats, chunk_size: int):
     return jnp.moveaxis(jnp.concatenate(zts, axis=0), 0, 1), log_q, log_p
 
 
-def forward_from_features(key, cfg: VAEConfig, params, x, feats) -> Forward:
+def forward_from_features(key, cfg: VAEConfig, params, x, feats,
+                          allow_fused: bool = True) -> Forward:
     """Reparameterize + decode from precomputed encoder features (the IWAE
     path encodes once and draws many importance samples from the same q)."""
-    z, log_q, log_p, kls, curvs = _reparam_components(key, cfg, params, feats)
+    z, log_q, log_p, kls, curvs = _reparam_components(
+        key, cfg, params, feats, allow_fused=allow_fused)
     logits = decode(cfg, params, z)
     log_px_z = _sum_data_axes(bernoulli_log_prob(logits, x),
                               len(cfg.data_shape))
     return Forward(z, log_px_z, log_q, log_p, kls, curvs)
 
 
-def forward(key, cfg: VAEConfig, params, x) -> Forward:
+def forward(key, cfg: VAEConfig, params, x,
+            allow_fused: bool = True) -> Forward:
     """One reparameterized forward pass: returns everything ELBO/IWAE need."""
     feats = encode(cfg, params, x)
-    return forward_from_features(key, cfg, params, x, feats)
+    return forward_from_features(key, cfg, params, x, feats,
+                                 allow_fused=allow_fused)
 
 
-def elbo(key, cfg: VAEConfig, params, x, beta: float = 1.0):
+def elbo(key, cfg: VAEConfig, params, x, beta: float = 1.0,
+         allow_fused: bool = True):
     """Per-example ELBO and a stats dict (single-sample MC KL, as in the
     reference's training objective)."""
-    fwd = forward(key, cfg, params, x)
+    fwd = forward(key, cfg, params, x, allow_fused=allow_fused)
     kl_total = jnp.sum(fwd.kl_per_comp, axis=-1)
     value = fwd.log_px_z - beta * kl_total
     stats = {
@@ -246,8 +282,9 @@ def elbo(key, cfg: VAEConfig, params, x, beta: float = 1.0):
     return value, stats
 
 
-def loss_fn(key, cfg: VAEConfig, params, x, beta: float = 1.0):
-    value, stats = elbo(key, cfg, params, x, beta)
+def loss_fn(key, cfg: VAEConfig, params, x, beta: float = 1.0,
+            allow_fused: bool = True):
+    value, stats = elbo(key, cfg, params, x, beta, allow_fused=allow_fused)
     return -jnp.mean(value), stats
 
 
@@ -302,7 +339,10 @@ def log_likelihood(key, cfg: VAEConfig, params, x, n_samples: int = 500,
     feats = encode(cfg, params, x)  # encode ONCE for all importance samples
 
     def one_sample(sk):
-        fwd = forward_from_features(sk, cfg, params, x, feats)
+        # the fused tail rides inside vmap via pallas_call's batching rule
+        # (the sample axis becomes an extra grid dimension)
+        fwd = forward_from_features(sk, cfg, params, x, feats,
+                                    allow_fused=allow_fused)
         return fwd.log_px_z + fwd.log_p - fwd.log_q
 
     def one_chunk_fused(ck, xt):

@@ -149,9 +149,16 @@ def make_train_epoch(model_cfg: vae.VAEConfig, tc: TrainConfig, tx,
     'data' axis (params stay as placed: replicated or TP-sharded)."""
     # traced constants: batch_size/burnin (shapes+mask), beta (loss), and
     # lr/curvature_lr through the closed-over tx update rule — the single
-    # TRAIN_EPOCH_FIELDS constant keeps this in sync with make_optimizer
+    # TRAIN_EPOCH_FIELDS constant keeps this in sync with make_optimizer.
+    # The fused-tail routing is resolved at trace time from env+backend, so
+    # it must be part of the key (as in make_eval_ll).
+    from ..kernels import tail_kernels
     cache_key = ("train_epoch", model_cfg, _tc_key(tc, TRAIN_EPOCH_FIELDS),
-                 binarize, steps_per_epoch, mesh)
+                 binarize, steps_per_epoch, mesh,
+                 tail_kernels.use_fused_tail(), jax.default_backend())
+    # pallas_call has no GSPMD partitioning rule: the fused tail only runs
+    # on the single-device (mesh-free) path
+    allow_fused = mesh is None
 
     burnin_steps = tc.burnin_epochs * steps_per_epoch
 
@@ -163,7 +170,8 @@ def make_train_epoch(model_cfg: vae.VAEConfig, tc: TrainConfig, tx,
         x = binarize_batch(k_bin, x, binarize)
 
         def scalar_loss(p):
-            return vae.loss_fn(k_model, model_cfg, p, x, tc.beta)
+            return vae.loss_fn(k_model, model_cfg, p, x, tc.beta,
+                               allow_fused=allow_fused)
 
         (loss, stats), grads = jax.value_and_grad(scalar_loss,
                                                   has_aux=True)(params)
@@ -199,7 +207,8 @@ def make_train_epoch(model_cfg: vae.VAEConfig, tc: TrainConfig, tx,
                      lambda: jax.jit(train_epoch, donate_argnums=(0, 1)))
 
 
-def make_eval_elbo(model_cfg: vae.VAEConfig, tc: TrainConfig, binarize: bool):
+def make_eval_elbo(model_cfg: vae.VAEConfig, tc: TrainConfig, binarize: bool,
+                   allow_fused: bool = True):
     """Masked eval over the WHOLE padded split as ONE jitted scan: `masks`
     (Nb, B) of 0/1 mark valid rows, so padded tail rows contribute exact
     means over real examples only. One device dispatch per eval pass —
@@ -207,7 +216,8 @@ def make_eval_elbo(model_cfg: vae.VAEConfig, tc: TrainConfig, binarize: bool):
     dominated epoch wall time."""
     def eval_batch_masked(params, x, mask, k_bin, k_model):
         x = binarize_rows(k_bin, x, binarize)
-        fwd = vae.forward(k_model, model_cfg, params, x)
+        fwd = vae.forward(k_model, model_cfg, params, x,
+                          allow_fused=allow_fused)
         kl_total = jnp.sum(fwd.kl_per_comp, axis=-1)
         value = fwd.log_px_z - tc.beta * kl_total
         w = (mask / jnp.maximum(jnp.sum(mask), 1.0)).astype(value.dtype)
@@ -228,8 +238,10 @@ def make_eval_elbo(model_cfg: vae.VAEConfig, tc: TrainConfig, binarize: bool):
                                 (batches, masks, k_bins, k_models))
         return stats  # each leaf stacked over the batch axis
 
+    from ..kernels import tail_kernels
     return _memoized(("eval_elbo", model_cfg, _tc_key(tc, ("beta",)),
-                      binarize),
+                      binarize, allow_fused, tail_kernels.use_fused_tail(),
+                      jax.default_backend()),
                      lambda: jax.jit(eval_split))
 
 
@@ -252,12 +264,13 @@ def make_eval_ll(model_cfg: vae.VAEConfig, tc: TrainConfig, binarize: bool,
     # (kernels/decoder_kernels.use_fused_decoder), so it must be part of
     # the cache key — otherwise flipping MVAE_FUSED_DECODER between two
     # Trainer builds would silently reuse the other path's executable
-    from ..kernels import decoder_kernels, manifold_kernels
+    from ..kernels import decoder_kernels, manifold_kernels, tail_kernels
     return _memoized(("eval_ll", model_cfg,
                       _tc_key(tc, ("likelihood_n", "likelihood_chunk")),
                       binarize, allow_fused,
                       decoder_kernels.use_fused_decoder(),
                       manifold_kernels.use_fused_reparam(),
+                      tail_kernels.use_fused_tail(),
                       jax.default_backend()),
                      lambda: jax.jit(eval_split))
 
@@ -296,7 +309,8 @@ class Trainer:
         self._train_epoch = make_train_epoch(model_cfg, tc, self.tx,
                                              dataset.binarize,
                                              self.steps_per_epoch, self.mesh)
-        self._eval_elbo = make_eval_elbo(model_cfg, tc, dataset.binarize)
+        self._eval_elbo = make_eval_elbo(model_cfg, tc, dataset.binarize,
+                                         allow_fused=self.mesh is None)
         self._eval_ll = make_eval_ll(model_cfg, tc, dataset.binarize,
                                      allow_fused=self.mesh is None)
 

@@ -83,6 +83,20 @@ def use_fused_decoder() -> bool:
     return jax.default_backend() != "cpu"
 
 
+def use_fused_train_decoder() -> bool:
+    """Default OFF (opt-in via MVAE_FUSED_TRAIN_DECODER=1): measured on
+    v5e, fusing the train decode+BCE NET-LOSES against XLA's own fusion
+    of this segment — 13.4k vs 13.1k steps/s at (B=1024, H=400), 8.0k vs
+    6.7k at H=1024. XLA already keeps the BCE reduce and the backward
+    dlogits fusion at their HBM floors and streams each weight once,
+    while the kernel re-fetches its invariant weight blocks per batch
+    block. Kept as a tested, documented negative result."""
+    v = os.environ.get("MVAE_FUSED_TRAIN_DECODER", "auto")
+    if v in ("0", "1"):
+        return v == "1"
+    return False
+
+
 def _split(a):
     """f32 -> (hi, lo) bf16 pair with a = hi + lo up to 2^-16 relative."""
     hi = a.astype(jnp.bfloat16)
@@ -182,3 +196,132 @@ def fused_decode_bce_t(zt, xt, w1, b1, w2, b2):
         interpret=jax.default_backend() == "cpu",
     )(zt, xt, w1c, b1[:, None], w2c, b2[:, None])
     return out[:S, :B]
+
+
+# --- TRAINING-path fused decode + BCE (custom VJP) ---------------------------
+#
+# The train step's decoder tail cost three HBM-bound fusions beyond the
+# GEMMs themselves: the forward BCE reduce (reads logits + x, ~8 us at
+# batch 1024), the backward dlogits fusion (reads logits + x again), and
+# the logits round trip between them. This kernel computes, in ONE pass
+# per batch block,
+#
+#     h       = relu(z @ W1 + b1)            (kept for the wgrad GEMM)
+#     logits  = h @ W2 + b2                  (never leaves VMEM)
+#     ll      = sum_D [x * logits - softplus(logits)]
+#     glogits = x - sigmoid(logits)          (= d ll / d logits)
+#
+# so the backward pass is NOTHING but the four GEMMs XLA already fuses
+# into the Adam update (dl = ct * glogits folds into their operands).
+#
+# Precision contract: operands are cast to bf16 in VMEM and accumulated
+# in f32 — exactly XLA's DEFAULT f32 dot on TPU (one bf16 pass), i.e.
+# the same numerics the jnp training path runs; the BCE epilogue is f32.
+# (The IWAE eval kernel above instead pays 3 split passes for ~f32
+# accuracy — the 0.1-nat estimator needs it, the training loss does not.)
+
+_TRAIN_BLK = 512  # batch rows per grid step (VMEM ~7 MB incl. pipelining)
+
+_DNN = (((1,), (0,)), ((), ()))
+
+
+def _mm_bf16(a, b):
+    """One-pass bf16 MXU dot with f32 accumulation (XLA-default grade)."""
+    return jax.lax.dot_general(a.astype(jnp.bfloat16),
+                               b.astype(jnp.bfloat16), _DNN,
+                               preferred_element_type=jnp.float32)
+
+
+def _train_decode_body(z, x, w1, b1, w2, b2):
+    """Pure-jnp tile math (also the CPU/equivalence twin)."""
+    h = jnp.maximum(_mm_bf16(z, w1) + b1, 0.0)
+    logits = _mm_bf16(h, w2) + b2
+    sp = jnp.maximum(logits, 0.0) + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    ll = jnp.sum(x * logits - sp, axis=1)
+    glogits = x - 1.0 / (1.0 + jnp.exp(-logits))
+    return ll, h, glogits
+
+
+def _train_decode_kernel(z_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                         ll_ref, h_ref, gl_ref):
+    ll, h, gl = _train_decode_body(z_ref[:], x_ref[:], w1_ref[:], b1_ref[:],
+                                   w2_ref[:], b2_ref[:])
+    ll_ref[:] = ll[:, None]
+    h_ref[:] = h
+    gl_ref[:] = gl
+
+
+def _train_decode_fwd_pallas(z, x, w1, b1, w2, b2):
+    B, Z = z.shape
+    D = x.shape[1]
+    H = w1.shape[1]
+    block = min(_TRAIN_BLK, -(-B // 128) * 128)
+    pad = (-B) % block
+    if pad:
+        z = jnp.concatenate([z, jnp.zeros((pad, Z), z.dtype)])
+        x = jnp.concatenate([x, jnp.zeros((pad, D), x.dtype)])
+    bp = B + pad
+    ll, h, gl = pl.pallas_call(
+        _train_decode_kernel,
+        grid=(bp // block,),
+        in_specs=[
+            pl.BlockSpec((block, Z), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, D), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Z, H), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            # (block, 1) column: lane dim 1 == the full array dim, which
+            # Mosaic accepts (a (block//128, 128) row block would need its
+            # sublane dim divisible by 8)
+            pl.BlockSpec((block, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, H), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, D), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((bp, H), jnp.float32),
+            jax.ShapeDtypeStruct((bp, D), jnp.float32),
+        ),
+        interpret=jax.default_backend() == "cpu",
+    )(z, x, w1, b1[None, :], w2, b2[None, :])
+    return ll.reshape(-1)[:B], h[:B], gl[:B]
+
+
+@jax.custom_vjp
+def train_decode_bce(z, x, w1, b1, w2, b2):
+    """Per-example log p(x|z) for the TRAIN forward (depth-1 MLP decoder,
+    XLA-default bf16-grade GEMMs); z (B, Z), x (B, D) -> (B,)."""
+    ll, _, _ = _train_decode_fwd_pallas(z, x, w1, b1, w2, b2)
+    return ll
+
+
+def _train_decode_vjp_fwd(z, x, w1, b1, w2, b2):
+    ll, h, gl = _train_decode_fwd_pallas(z, x, w1, b1, w2, b2)
+    return ll, (z, h, gl, w1, w2)
+
+
+def _train_decode_vjp_bwd(res, dll):
+    """Four GEMMs (which fuse into the Adam updates) + two bias sums.
+    The per-example cotangent scale dll is applied to the SMALLER (B, H)
+    side everywhere — XLA measured a standalone 5 us (B, D) fusion for
+    ``dll * glogits``, so that product is never materialized."""
+    z, h, gl, w1, w2 = res
+    hs = dll[:, None] * h                       # (B, H): 2x cheaper than gl
+    db2 = _mm_bf16(gl.T, dll[:, None])[:, 0]    # matvec: sum_b dll_b gl_bd
+    dw2 = _mm_bf16(hs.T, gl)
+    dh = dll[:, None] * _mm_bf16(gl, w2.T) * (h > 0)
+    db1 = jnp.sum(dh, axis=0)
+    dw1 = _mm_bf16(z.T, dh)
+    dz = _mm_bf16(dh, w1.T)
+    return dz, jnp.zeros_like(gl), dw1, db1, dw2, db2
+
+
+train_decode_bce.defvjp(_train_decode_vjp_fwd, _train_decode_vjp_bwd)

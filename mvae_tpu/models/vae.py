@@ -245,12 +245,39 @@ def _reparam_chunk_t(ck, cfg: VAEConfig, params, feats, chunk_size: int):
     return jnp.moveaxis(jnp.concatenate(zts, axis=0), 0, 1), log_q, log_p
 
 
+def _fused_train_decoder_eligible(cfg: VAEConfig, params) -> bool:
+    """The fused TRAIN decode+BCE kernel (decoder_kernels.train_decode_bce)
+    covers depth-1 MLP decoders in f32 at XLA-default GEMM grade."""
+    from ..kernels import decoder_kernels
+    if not (cfg.arch == "mlp" and cfg.decoder_depth == 1):
+        return False
+    if not decoder_kernels.use_fused_train_decoder():
+        return False
+    return params["decoder"]["out"]["w"].dtype == jnp.float32
+
+
 def forward_from_features(key, cfg: VAEConfig, params, x, feats,
-                          allow_fused: bool = True) -> Forward:
+                          allow_fused: bool = True,
+                          fused_decoder: bool = True) -> Forward:
     """Reparameterize + decode from precomputed encoder features (the IWAE
-    path encodes once and draws many importance samples from the same q)."""
+    path encodes once and draws many importance samples from the same q).
+
+    The TRAIN/eval-ELBO forward fuses decode + Bernoulli BCE (and the
+    backward's x - sigmoid(logits) term) into one Pallas pass when
+    eligible — the logits never round-trip HBM and the backward is pure
+    GEMMs (decoder_kernels.train_decode_bce)."""
     z, log_q, log_p, kls, curvs = _reparam_components(
         key, cfg, params, feats, allow_fused=allow_fused)
+    if allow_fused and fused_decoder and _fused_train_decoder_eligible(
+            cfg, params):
+        from ..kernels.decoder_kernels import train_decode_bce
+        dec = params["decoder"]
+        xf = x.reshape(x.shape[:-len(cfg.data_shape)] + (cfg.flat_dim,))
+        log_px_z = train_decode_bce(z, xf.astype(jnp.float32),
+                                    dec["layers"][0]["w"],
+                                    dec["layers"][0]["b"],
+                                    dec["out"]["w"], dec["out"]["b"])
+        return Forward(z, log_px_z, log_q, log_p, kls, curvs)
     logits = decode(cfg, params, z)
     log_px_z = _sum_data_axes(bernoulli_log_prob(logits, x),
                               len(cfg.data_shape))
@@ -340,9 +367,13 @@ def log_likelihood(key, cfg: VAEConfig, params, x, n_samples: int = 500,
 
     def one_sample(sk):
         # the fused tail rides inside vmap via pallas_call's batching rule
-        # (the sample axis becomes an extra grid dimension)
+        # (the sample axis becomes an extra grid dimension). The TRAIN
+        # decode kernel stays OFF here: this fallback needs the HIGH-
+        # precision decode below — bf16-single-pass log p(x|z) is ~1 nat
+        # off, which the IWAE estimator cannot absorb.
         fwd = forward_from_features(sk, cfg, params, x, feats,
-                                    allow_fused=allow_fused)
+                                    allow_fused=allow_fused,
+                                    fused_decoder=False)
         return fwd.log_px_z + fwd.log_p - fwd.log_q
 
     def one_chunk_fused(ck, xt):

@@ -152,10 +152,12 @@ def make_train_epoch(model_cfg: vae.VAEConfig, tc: TrainConfig, tx,
     # TRAIN_EPOCH_FIELDS constant keeps this in sync with make_optimizer.
     # The fused-tail routing is resolved at trace time from env+backend, so
     # it must be part of the key (as in make_eval_ll).
-    from ..kernels import tail_kernels
+    from ..kernels import decoder_kernels, tail_kernels
     cache_key = ("train_epoch", model_cfg, _tc_key(tc, TRAIN_EPOCH_FIELDS),
                  binarize, steps_per_epoch, mesh,
-                 tail_kernels.use_fused_tail(), jax.default_backend())
+                 tail_kernels.use_fused_tail(),
+                 decoder_kernels.use_fused_train_decoder(),
+                 jax.default_backend())
     # pallas_call has no GSPMD partitioning rule: the fused tail only runs
     # on the single-device (mesh-free) path
     allow_fused = mesh is None
@@ -238,9 +240,10 @@ def make_eval_elbo(model_cfg: vae.VAEConfig, tc: TrainConfig, binarize: bool,
                                 (batches, masks, k_bins, k_models))
         return stats  # each leaf stacked over the batch axis
 
-    from ..kernels import tail_kernels
+    from ..kernels import decoder_kernels, tail_kernels
     return _memoized(("eval_elbo", model_cfg, _tc_key(tc, ("beta",)),
                       binarize, allow_fused, tail_kernels.use_fused_tail(),
+                      decoder_kernels.use_fused_train_decoder(),
                       jax.default_backend()),
                      lambda: jax.jit(eval_split))
 
@@ -271,6 +274,7 @@ def make_eval_ll(model_cfg: vae.VAEConfig, tc: TrainConfig, binarize: bool,
                       decoder_kernels.use_fused_decoder(),
                       manifold_kernels.use_fused_reparam(),
                       tail_kernels.use_fused_tail(),
+                      decoder_kernels.use_fused_train_decoder(),
                       jax.default_backend()),
                      lambda: jax.jit(eval_split))
 

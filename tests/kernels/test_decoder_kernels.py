@@ -134,3 +134,94 @@ class TestLogLikelihoodFusedPath:
                             data_shape=(8, 8, 1), arch="conv", h_dim=32)
         params = vae.init_params(jax.random.key(0), cfg)
         assert not vae._fused_decoder_eligible(cfg, params)
+
+
+class TestTrainDecodeBce:
+    """TRAIN-path fused decode+BCE kernel (decoder_kernels.train_decode_bce):
+    XLA-default bf16-grade GEMMs + f32 BCE epilogue, custom VJP whose
+    backward is the exact GEMM jaxpr XLA autodiff emits."""
+
+    def _setup(self, B=200, Z=8, H=96, D=160):
+        # explicit f32: the test profile enables x64, where jax.random
+        # defaults to f64 and the f32-ref kernel rightly rejects the write
+        F = jnp.float32
+        z = 0.5 * jax.random.normal(jax.random.key(1), (B, Z), F)
+        x = (jax.random.uniform(jax.random.key(2), (B, D)) > 0.5).astype(F)
+        w1 = 0.1 * jax.random.normal(jax.random.key(3), (Z, H), F)
+        w2 = 0.1 * jax.random.normal(jax.random.key(4), (H, D), F)
+        return z, x, w1, jnp.zeros(H, F), w2, jnp.zeros(D, F)
+
+    def test_matches_twin_and_f32_grade(self):
+        from mvae_tpu.kernels import decoder_kernels as dk
+        z, x, w1, b1, w2, b2 = self._setup()
+        ll = dk.train_decode_bce(z, x, w1, b1, w2, b2)
+        ll_t, _, _ = dk._train_decode_body(z, x, w1, b1[None, :], w2,
+                                           b2[None, :])
+        np.testing.assert_allclose(np.asarray(ll), np.asarray(ll_t),
+                                   rtol=1e-6, atol=1e-5)
+        # against the true-f32 path: bf16-single-pass GEMM grade (the same
+        # contract the jnp TRAINING path runs under XLA's default dot)
+        h = jnp.maximum(z @ w1 + b1, 0.0)
+        logits = h @ w2 + b2
+        ll_f32 = jnp.sum(x * logits - (jnp.maximum(logits, 0.0)
+                                       + jnp.log1p(jnp.exp(-jnp.abs(logits)))),
+                         axis=1)
+        np.testing.assert_allclose(np.asarray(ll), np.asarray(ll_f32),
+                                   rtol=1e-3, atol=0.05)
+
+    def test_custom_bwd_matches_twin_autodiff(self):
+        from mvae_tpu.kernels import decoder_kernels as dk
+        z, x, w1, b1, w2, b2 = self._setup()
+
+        def loss_k(z, w1, b1, w2, b2):
+            return jnp.mean(dk.train_decode_bce(z, x, w1, b1, w2, b2))
+
+        def loss_t(z, w1, b1, w2, b2):
+            ll, _, _ = dk._train_decode_body(z, x, w1, b1[None, :], w2,
+                                             b2[None, :])
+            return jnp.mean(ll)
+
+        gk = jax.grad(loss_k, argnums=(0, 1, 2, 3, 4))(z, w1, b1, w2, b2)
+        gt = jax.grad(loss_t, argnums=(0, 1, 2, 3, 4))(z, w1, b1, w2, b2)
+        for a, b in zip(gk, gt):
+            # bf16-operand dots in both paths; diffs are bf16 rounding
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=5e-4)
+
+    def test_unpadded_batch_and_vmap(self):
+        from mvae_tpu.kernels import decoder_kernels as dk
+        z, x, w1, b1, w2, b2 = self._setup(B=77)
+        ll = dk.train_decode_bce(z, x, w1, b1, w2, b2)
+        assert ll.shape == (77,)
+        llv = jax.vmap(lambda zz: dk.train_decode_bce(zz, x, w1, b1, w2,
+                                                      b2))(
+            jnp.stack([z, z + 0.01]))
+        np.testing.assert_allclose(np.asarray(llv[0]), np.asarray(ll),
+                                   rtol=1e-6, atol=1e-6)
+
+    def test_loss_fn_routing(self, monkeypatch):
+        """End-to-end loss_fn: fused train decoder vs jnp decode — values
+        and grads at bf16-GEMM tolerance; IWAE fallback keeps it OFF."""
+        from mvae_tpu.components import parse_components
+        from mvae_tpu.models import VAEConfig, init_params, loss_fn, vae
+        comps = parse_components("e2")
+        cfg = VAEConfig(components=comps, data_shape=(64,), h_dim=32)
+        params = init_params(jax.random.key(0), cfg)
+        x = (jax.random.uniform(jax.random.key(1), (96, 64)) > 0.5).astype(
+            jnp.float32)
+        key = jax.random.key(2)
+        monkeypatch.setenv("MVAE_FUSED_TRAIN_DECODER", "1")
+        assert vae._fused_train_decoder_eligible(cfg, params)
+        (l1, _), g1 = jax.value_and_grad(
+            lambda p: loss_fn(key, cfg, p, x), has_aux=True)(params)
+        monkeypatch.setenv("MVAE_FUSED_TRAIN_DECODER", "0")
+        (l2, _), g2 = jax.value_and_grad(
+            lambda p: loss_fn(key, cfg, p, x), has_aux=True)(params)
+        np.testing.assert_allclose(float(l1), float(l2), rtol=2e-3)
+        for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+            # bf16-GEMM vs CPU-f32 jnp grade: bound the diff by the leaf's
+            # own scale rather than elementwise (tiny grads have large
+            # relative bf16 rounding)
+            scale = max(float(np.max(np.abs(np.asarray(b)))), 1e-3)
+            assert float(np.max(np.abs(np.asarray(a) - np.asarray(b)))) \
+                <= 0.05 * scale

@@ -161,7 +161,7 @@ def _fused_tail_eligible(cfg: VAEConfig, params) -> bool:
 
 
 def _reparam_components(key, cfg: VAEConfig, params, feats,
-                        allow_fused: bool = True):
+                        allow_fused: bool = True, mesh=None):
     """Per-component reparameterization from encoder features: returns the
     concatenated latent plus summed log q / log p and per-component stats.
 
@@ -169,7 +169,29 @@ def _reparam_components(key, cfg: VAEConfig, params, feats,
     entire per-component chain (head activations, draws, log-densities,
     KLs) as ONE forward + ONE backward kernel instead of ~50 tiny XLA
     fusions (kernels/tail_kernels.py). ``allow_fused=False`` opts out
-    where pallas_call can't run (e.g. TP-sharded params under GSPMD)."""
+    where pallas_call can't run under plain GSPMD jit; passing ``mesh``
+    instead runs the SAME kernel per device under shard_map (batch over
+    "data", component params replicated — they are small and the mesh
+    layout keeps them replicated anyway), so the fused tail serves the
+    multi-chip train/eval paths too. Each data shard folds its axis index
+    into the key (independent noise per shard; shard_map's transpose
+    psums the replicated-param cotangents across the mesh)."""
+    if (mesh is not None and _fused_tail_eligible(cfg, params)
+            and feats.shape[0] % mesh.shape["data"] == 0):
+        from jax.sharding import PartitionSpec as P
+        from ..kernels import tail_kernels
+        raw_all = _fused_head_raw_cat(cfg, params, feats)
+
+        def body(key, cps, raw):
+            key = jax.random.fold_in(key, jax.lax.axis_index("data"))
+            return tail_kernels.reparam_all(key, cfg.components, cps, raw)
+
+        return jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(P(), P(), P("data", None)),
+            out_specs=(P("data", None), P("data"), P("data"),
+                       P("data", None), P()),
+            check_vma=False)(key, params["components"], raw_all)
     if allow_fused and _fused_tail_eligible(cfg, params):
         from ..kernels import tail_kernels
         raw_all = _fused_head_raw_cat(cfg, params, feats)
@@ -258,7 +280,7 @@ def _fused_train_decoder_eligible(cfg: VAEConfig, params) -> bool:
 
 def forward_from_features(key, cfg: VAEConfig, params, x, feats,
                           allow_fused: bool = True,
-                          fused_decoder: bool = True) -> Forward:
+                          fused_decoder: bool = True, mesh=None) -> Forward:
     """Reparameterize + decode from precomputed encoder features (the IWAE
     path encodes once and draws many importance samples from the same q).
 
@@ -267,7 +289,7 @@ def forward_from_features(key, cfg: VAEConfig, params, x, feats,
     eligible — the logits never round-trip HBM and the backward is pure
     GEMMs (decoder_kernels.train_decode_bce)."""
     z, log_q, log_p, kls, curvs = _reparam_components(
-        key, cfg, params, feats, allow_fused=allow_fused)
+        key, cfg, params, feats, allow_fused=allow_fused, mesh=mesh)
     if allow_fused and fused_decoder and _fused_train_decoder_eligible(
             cfg, params):
         from ..kernels.decoder_kernels import train_decode_bce
@@ -285,18 +307,18 @@ def forward_from_features(key, cfg: VAEConfig, params, x, feats,
 
 
 def forward(key, cfg: VAEConfig, params, x,
-            allow_fused: bool = True) -> Forward:
+            allow_fused: bool = True, mesh=None) -> Forward:
     """One reparameterized forward pass: returns everything ELBO/IWAE need."""
     feats = encode(cfg, params, x)
     return forward_from_features(key, cfg, params, x, feats,
-                                 allow_fused=allow_fused)
+                                 allow_fused=allow_fused, mesh=mesh)
 
 
 def elbo(key, cfg: VAEConfig, params, x, beta: float = 1.0,
-         allow_fused: bool = True):
+         allow_fused: bool = True, mesh=None):
     """Per-example ELBO and a stats dict (single-sample MC KL, as in the
     reference's training objective)."""
-    fwd = forward(key, cfg, params, x, allow_fused=allow_fused)
+    fwd = forward(key, cfg, params, x, allow_fused=allow_fused, mesh=mesh)
     kl_total = jnp.sum(fwd.kl_per_comp, axis=-1)
     value = fwd.log_px_z - beta * kl_total
     stats = {
@@ -310,8 +332,9 @@ def elbo(key, cfg: VAEConfig, params, x, beta: float = 1.0,
 
 
 def loss_fn(key, cfg: VAEConfig, params, x, beta: float = 1.0,
-            allow_fused: bool = True):
-    value, stats = elbo(key, cfg, params, x, beta, allow_fused=allow_fused)
+            allow_fused: bool = True, mesh=None):
+    value, stats = elbo(key, cfg, params, x, beta, allow_fused=allow_fused,
+                        mesh=mesh)
     return -jnp.mean(value), stats
 
 
@@ -332,16 +355,15 @@ def _fused_decoder_eligible(cfg: VAEConfig, params) -> bool:
                                         cfg.flat_dim) >= 128
 
 
-def log_likelihood(key, cfg: VAEConfig, params, x, n_samples: int = 500,
-                   chunk_size: int = 20, allow_fused: bool = True):
-    """IWAE marginal log-likelihood estimate per example (SURVEY.md §3.3).
-
-    log p(x) ~= logsumexp_i [log p(x|z_i) + log p(z_i) - log q(z_i|x)] - log n
+def _log_weights(key, cfg: VAEConfig, params, x, n_samples: int,
+                 chunk_size: int, allow_fused: bool = True):
+    """(n_samples, B) IWAE log-weights log p(x|z_i) + log p(z_i) - log
+    q(z_i|x), in >= f32. The shared core of ``log_likelihood`` (one-device)
+    and ``log_likelihood_sharded`` (per-shard inside shard_map).
 
     Importance samples run as an outer sequential ``lax.map`` over chunks
     (bounds peak memory at chunk x batch x data) of an inner ``vmap`` over
-    ``chunk_size`` samples (keeps the device saturated); the log-weights
-    (n, B) stay resident (tiny) and one f32 logsumexp finishes the job.
+    ``chunk_size`` samples (keeps the device saturated).
 
     log p(x|z) runs in the fused Pallas decoder kernel when eligible
     (kernels/decoder_kernels.py): ~f32-exact 3-pass GEMMs at 2.4x the
@@ -350,8 +372,10 @@ def log_likelihood(key, cfg: VAEConfig, params, x, n_samples: int = 500,
     reproduction target cannot absorb.
     """
     # allow_fused=False lets callers opt out where pallas_call can't run —
-    # e.g. TP-sharded decoder weights (GSPMD has no partitioning rule for
-    # the kernel); the Trainer passes mesh is None
+    # e.g. TP-sharded params under plain GSPMD jit (no partitioning rule
+    # for the kernel); the sharded eval path instead wraps this whole
+    # function in shard_map so the kernels run per device (see
+    # log_likelihood_sharded)
     fused = allow_fused and _fused_decoder_eligible(cfg, params)
     if fused:
         # the fused kernel never materializes logits, so the memory bound
@@ -407,12 +431,79 @@ def log_likelihood(key, cfg: VAEConfig, params, x, n_samples: int = 500,
             return jax.vmap(one_sample)(jax.random.split(ck, chunk_size))
 
     log_w = jax.lax.map(one_chunk, keys)  # (n_chunks, chunk, B)
-    # accumulate the logsumexp in >= f32 (never DOWNgrade: f64 oracles in
-    # tests rely on full-precision composition)
+    # accumulate in >= f32 (never DOWNgrade: f64 oracles in tests rely on
+    # full-precision composition)
     acc = jnp.float32 if log_w.dtype == jnp.bfloat16 else log_w.dtype
-    log_w = log_w.reshape(n_samples, *log_w.shape[2:]).astype(acc)
+    return log_w.reshape(n_samples, *log_w.shape[2:]).astype(acc)
+
+
+def log_likelihood(key, cfg: VAEConfig, params, x, n_samples: int = 500,
+                   chunk_size: int = 20, allow_fused: bool = True):
+    """IWAE marginal log-likelihood estimate per example (SURVEY.md §3.3).
+
+    log p(x) ~= logsumexp_i [log p(x|z_i) + log p(z_i) - log q(z_i|x)] - log n
+
+    The log-weights (n, B) stay resident (tiny) and one f32 logsumexp
+    finishes the job; see ``_log_weights`` for the chunked sample loop and
+    the fused-kernel routing.
+    """
+    log_w = _log_weights(key, cfg, params, x, n_samples, chunk_size,
+                         allow_fused=allow_fused)
     return jax.scipy.special.logsumexp(log_w, axis=0) - jnp.log(
-        jnp.asarray(n_samples, acc))
+        jnp.asarray(n_samples, log_w.dtype))
+
+
+def log_likelihood_sharded(key, cfg: VAEConfig, params, x, mesh,
+                           n_samples: int = 500, chunk_size: int = 20):
+    """IWAE estimate over a ("data", "model") mesh with the fused Pallas
+    kernels ON per device (new TPU design — the reference is single-device).
+
+    GSPMD has no partitioning rule for ``pallas_call``, so instead of
+    letting sharding propagation split the program (which forces the slow
+    unfused path), the WHOLE estimator body runs under ``shard_map``:
+
+    * the batch axis is sharded over "data" (each device sees B/n_data
+      examples and the full weights — they are small);
+    * the importance samples are sharded over "model": rank r draws its own
+      n/n_model samples from ``fold_in(key, r)``, reduces them to a partial
+      logsumexp, and an ``all_gather`` of the (B_shard,) partials over
+      "model" finishes the exact n-sample logsumexp. Both mesh axes do
+      useful work; the only collectives are the up-front weight gather and
+      one (n_model, B_shard) f32 gather per batch.
+
+    Requires n_samples % n_model == 0 and B % n_data == 0 (callers fall
+    back to ``log_likelihood`` otherwise). The per-rank draws use distinct
+    fold_in keys, so the estimate equals the single-device one in
+    distribution (same n, same estimator) but not draw-for-draw.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    n_data, n_model = mesh.shape["data"], mesh.shape["model"]
+    assert n_samples % n_model == 0, "n_samples must divide the model axis"
+    assert x.shape[0] % n_data == 0, "batch must divide the data axis"
+    per_rank = n_samples // n_model
+    # the per-rank sample count must chunk evenly; shrink to the largest
+    # divisor (the fused path re-derives its own grouping anyway)
+    chunk_size = next(d for d in range(min(chunk_size, per_rank), 0, -1)
+                      if per_rank % d == 0)
+
+    # the kernels want the full (small) weights on every device: constrain
+    # params replicated so GSPMD inserts one all-gather at the boundary
+    params = jax.lax.with_sharding_constraint(
+        params, jax.tree.map(lambda _: NamedSharding(mesh, P()), params))
+
+    def body(key, params, xs):
+        r = jax.lax.axis_index("model")
+        lw = _log_weights(jax.random.fold_in(key, r), cfg, params, xs,
+                          per_rank, chunk_size, allow_fused=True)
+        part = jax.scipy.special.logsumexp(lw, axis=0)     # (B_shard,)
+        parts = jax.lax.all_gather(part, "model")          # (n_model, B_s)
+        return jax.scipy.special.logsumexp(parts, axis=0) - jnp.log(
+            jnp.asarray(n_samples, part.dtype))
+
+    xspec = P("data") + (None,) * (x.ndim - 1)
+    return jax.shard_map(body, mesh=mesh,
+                         in_specs=(P(), P(), xspec), out_specs=P("data"),
+                         check_vma=False)(key, params, x)
 
 
 def generate(key, cfg: VAEConfig, params, n: int, dtype=jnp.float32):

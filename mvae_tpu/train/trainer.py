@@ -158,8 +158,10 @@ def make_train_epoch(model_cfg: vae.VAEConfig, tc: TrainConfig, tx,
                  tail_kernels.use_fused_tail(),
                  decoder_kernels.use_fused_train_decoder(),
                  jax.default_backend())
-    # pallas_call has no GSPMD partitioning rule: the fused tail only runs
-    # on the single-device (mesh-free) path
+    # pallas_call has no GSPMD partitioning rule, so under a mesh the
+    # fused tail runs per device inside shard_map instead (vae.loss_fn's
+    # mesh argument); allow_fused only gates the remaining GSPMD-traced
+    # kernels (the opt-in train decoder)
     allow_fused = mesh is None
 
     burnin_steps = tc.burnin_epochs * steps_per_epoch
@@ -173,7 +175,7 @@ def make_train_epoch(model_cfg: vae.VAEConfig, tc: TrainConfig, tx,
 
         def scalar_loss(p):
             return vae.loss_fn(k_model, model_cfg, p, x, tc.beta,
-                               allow_fused=allow_fused)
+                               allow_fused=allow_fused, mesh=mesh)
 
         (loss, stats), grads = jax.value_and_grad(scalar_loss,
                                                   has_aux=True)(params)
@@ -210,7 +212,7 @@ def make_train_epoch(model_cfg: vae.VAEConfig, tc: TrainConfig, tx,
 
 
 def make_eval_elbo(model_cfg: vae.VAEConfig, tc: TrainConfig, binarize: bool,
-                   allow_fused: bool = True):
+                   allow_fused: bool = True, mesh=None):
     """Masked eval over the WHOLE padded split as ONE jitted scan: `masks`
     (Nb, B) of 0/1 mark valid rows, so padded tail rows contribute exact
     means over real examples only. One device dispatch per eval pass —
@@ -219,7 +221,7 @@ def make_eval_elbo(model_cfg: vae.VAEConfig, tc: TrainConfig, binarize: bool,
     def eval_batch_masked(params, x, mask, k_bin, k_model):
         x = binarize_rows(k_bin, x, binarize)
         fwd = vae.forward(k_model, model_cfg, params, x,
-                          allow_fused=allow_fused)
+                          allow_fused=allow_fused, mesh=mesh)
         kl_total = jnp.sum(fwd.kl_per_comp, axis=-1)
         value = fwd.log_px_z - tc.beta * kl_total
         w = (mask / jnp.maximum(jnp.sum(mask), 1.0)).astype(value.dtype)
@@ -242,16 +244,29 @@ def make_eval_elbo(model_cfg: vae.VAEConfig, tc: TrainConfig, binarize: bool,
 
     from ..kernels import decoder_kernels, tail_kernels
     return _memoized(("eval_elbo", model_cfg, _tc_key(tc, ("beta",)),
-                      binarize, allow_fused, tail_kernels.use_fused_tail(),
+                      binarize, allow_fused, mesh,
+                      tail_kernels.use_fused_tail(),
                       decoder_kernels.use_fused_train_decoder(),
                       jax.default_backend()),
                      lambda: jax.jit(eval_split))
 
 
 def make_eval_ll(model_cfg: vae.VAEConfig, tc: TrainConfig, binarize: bool,
-                 allow_fused: bool = True):
+                 allow_fused: bool = True, mesh=None):
     def eval_batch(params, x, k_bin, k_model):
         x = binarize_rows(k_bin, x, binarize)
+        if mesh is not None:
+            # shard_map the whole estimator over the mesh: batch over
+            # "data", importance samples over "model", fused Pallas
+            # kernels ON per device (vae.log_likelihood_sharded). Shapes
+            # that don't divide the mesh fall back to the GSPMD-safe
+            # unfused path below.
+            n_data, n_model = mesh.shape["data"], mesh.shape["model"]
+            if (x.shape[0] % n_data == 0
+                    and tc.likelihood_n % n_model == 0):
+                return vae.log_likelihood_sharded(
+                    k_model, model_cfg, params, x, mesh,
+                    tc.likelihood_n, tc.likelihood_chunk)
         return vae.log_likelihood(k_model, model_cfg, params, x,
                                   tc.likelihood_n, tc.likelihood_chunk,
                                   allow_fused=allow_fused)
@@ -270,7 +285,7 @@ def make_eval_ll(model_cfg: vae.VAEConfig, tc: TrainConfig, binarize: bool,
     from ..kernels import decoder_kernels, manifold_kernels, tail_kernels
     return _memoized(("eval_ll", model_cfg,
                       _tc_key(tc, ("likelihood_n", "likelihood_chunk")),
-                      binarize, allow_fused,
+                      binarize, allow_fused, mesh,
                       decoder_kernels.use_fused_decoder(),
                       manifold_kernels.use_fused_reparam(),
                       tail_kernels.use_fused_tail(),
@@ -314,9 +329,11 @@ class Trainer:
                                              dataset.binarize,
                                              self.steps_per_epoch, self.mesh)
         self._eval_elbo = make_eval_elbo(model_cfg, tc, dataset.binarize,
-                                         allow_fused=self.mesh is None)
+                                         allow_fused=self.mesh is None,
+                                         mesh=self.mesh)
         self._eval_ll = make_eval_ll(model_cfg, tc, dataset.binarize,
-                                     allow_fused=self.mesh is None)
+                                     allow_fused=self.mesh is None,
+                                     mesh=self.mesh)
 
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P

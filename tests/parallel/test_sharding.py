@@ -1,5 +1,7 @@
 """Sharding tests on the 8-virtual-device CPU mesh (SURVEY.md §4 implication
 (b)): sharded-vs-single-device numerical equivalence and the dryrun path."""
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -88,6 +90,147 @@ class TestMesh:
                 shard_params(params, mesh), shard_batch(x, mesh))
         np.testing.assert_allclose(np.asarray(ll), np.asarray(ll_sh),
                                    rtol=2e-5, atol=2e-5)
+
+    def test_iwae_sharded_fused_matches_manual_decomposition(self,
+                                                             monkeypatch):
+        """log_likelihood_sharded runs the FUSED kernels per device under
+        shard_map (batch over "data", importance samples over "model").
+        Its per-rank draw/combine decomposition is exactly reproducible on
+        one device: for data shard d and model rank r, the rank's weights
+        are _log_weights(fold_in(key, r), ..., x_d, n/n_model), combined by
+        logsumexp over ranks — assert bitwise-grade equality with that
+        manual simulation (round-3: closes 'fused decode is single-device-
+        only')."""
+        from mvae_tpu.models import vae
+        monkeypatch.setenv("MVAE_FUSED_DECODER", "1")
+        monkeypatch.setenv("MVAE_FUSED_REPARAM", "1")
+        cfg, params, x = make_model()
+        assert vae._fused_decoder_eligible(cfg, params)
+        key = jax.random.key(13)
+        n_samples, n_data, n_model = 32, 2, 2
+        mesh = make_mesh(n_data, n_model)
+
+        ll_sh = jax.jit(lambda p, xx: vae.log_likelihood_sharded(
+            key, cfg, p, xx, mesh, n_samples, 8))(
+                shard_params(params, mesh), shard_batch(x, mesh))
+
+        per_rank = n_samples // n_model
+        bs = x.shape[0] // n_data
+        rows = []
+        for d in range(n_data):
+            xs = x[d * bs:(d + 1) * bs]
+            parts = jnp.stack([
+                jax.scipy.special.logsumexp(vae._log_weights(
+                    jax.random.fold_in(key, r), cfg, params, xs,
+                    per_rank, 8, allow_fused=True), axis=0)
+                for r in range(n_model)])
+            rows.append(jax.scipy.special.logsumexp(parts, axis=0)
+                        - jnp.log(jnp.float32(n_samples)))
+        ll_manual = jnp.concatenate(rows)
+        np.testing.assert_allclose(np.asarray(ll_sh), np.asarray(ll_manual),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_trainer_mesh_eval_ll_uses_sharded_fused_path(self, monkeypatch,
+                                                          tmp_path):
+        """A Trainer built with mesh_shape routes evaluate_log_likelihood
+        through the shard_map fused estimator and returns a finite mean
+        in family with the unsharded estimate."""
+        monkeypatch.setenv("MVAE_FUSED_DECODER", "1")
+        monkeypatch.setenv("MVAE_FUSED_REPARAM", "1")
+        from mvae_tpu.data.base import ArrayDataset
+        from mvae_tpu.train.trainer import TrainConfig, Trainer
+        cfg, params, _ = make_model(d=16)
+        rng = np.random.RandomState(0)
+        data = (rng.rand(64, 16) > 0.5).astype(np.float32)
+        ds = ArrayDataset(name="synth", train=data, test=data[:32],
+                          data_shape=(16,), binarize=False)
+        tc = TrainConfig(epochs=1, batch_size=16, likelihood_n=16,
+                         likelihood_chunk=8, eval_batch_size=16,
+                         burnin_epochs=0, mesh_shape=(2, 2))
+        tr = Trainer(cfg, ds, tc, run_dir=str(tmp_path))
+        ll_mesh = tr.evaluate_log_likelihood("test")
+        assert np.isfinite(ll_mesh)
+        tc1 = dataclasses.replace(tc, mesh_shape=None)
+        tr1 = Trainer(cfg, ds, tc1, run_dir=str(tmp_path / "single"))
+        tr1.params = jax.device_put(jax.tree.map(np.asarray, tr.params))
+        ll_single = tr1.evaluate_log_likelihood("test")
+        # different draw trees: statistical agreement only (IWAE-16 over
+        # 32 examples at random init)
+        assert abs(ll_mesh - ll_single) < 1.5
+
+    def test_mesh_fused_tail_matches_manual_decomposition(self, monkeypatch):
+        """Under a mesh, _reparam_components runs the fused Pallas tail
+        per device inside shard_map (batch over "data", per-shard key
+        fold). Exactly reproducible on one device: shard d's outputs are
+        reparam_all(fold_in(key, d), ..., raw[d*bs:(d+1)*bs])."""
+        monkeypatch.setenv("MVAE_FUSED_TAIL", "1")
+        from mvae_tpu.kernels import tail_kernels
+        from mvae_tpu.models import vae
+        cfg, params, x = make_model()
+        key = jax.random.key(21)
+        n_data, n_model = 2, 2
+        mesh = make_mesh(n_data, n_model)
+        feats = vae.encode(cfg, params, x)
+        assert vae._fused_tail_eligible(cfg, params)
+
+        z, lq, lp, kl, curv = jax.jit(
+            lambda p, f: vae._reparam_components(key, cfg, p, f, mesh=mesh))(
+                shard_params(params, mesh), feats)
+
+        bs = x.shape[0] // n_data
+        raw = vae._fused_head_raw_cat(cfg, params, feats)
+        outs = [tail_kernels.reparam_all(
+            jax.random.fold_in(key, d), cfg.components,
+            params["components"], raw[d * bs:(d + 1) * bs])
+            for d in range(n_data)]
+        for got, parts in zip(
+                (z, lq, lp, kl),
+                ([o[i] for o in outs] for i in range(4))):
+            np.testing.assert_allclose(np.asarray(got),
+                                       np.concatenate(parts),
+                                       rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(curv), np.asarray(outs[0][4]),
+                                   rtol=1e-6)
+
+    def test_mesh_fused_tail_grads_match_manual(self, monkeypatch):
+        """AD through the shard_map'd tail: grads of the mesh ELBO loss
+        (fused tail per device, psum'd replicated-param cotangents) must
+        equal grads of the manually-decomposed single-device loss."""
+        monkeypatch.setenv("MVAE_FUSED_TAIL", "1")
+        from mvae_tpu.kernels import tail_kernels
+        from mvae_tpu.models import vae
+        cfg, params, x = make_model()
+        key = jax.random.key(22)
+        n_data = 4
+        mesh = make_mesh(n_data, 1)
+        bs = x.shape[0] // n_data
+
+        def loss_mesh(p, xx):
+            l, _ = vae.loss_fn(key, cfg, p, xx, allow_fused=False,
+                               mesh=mesh)
+            return l
+
+        def loss_manual(p, xx):
+            feats = vae.encode(cfg, p, xx)
+            raw = vae._fused_head_raw_cat(cfg, p, feats)
+            outs = [tail_kernels.reparam_all(
+                jax.random.fold_in(key, d), cfg.components,
+                p["components"], raw[d * bs:(d + 1) * bs])
+                for d in range(n_data)]
+            z = jnp.concatenate([o[0] for o in outs])
+            kl = jnp.concatenate([o[3] for o in outs])
+            logits = vae.decode(cfg, p, z)
+            log_px = vae._sum_data_axes(
+                vae.bernoulli_log_prob(logits, xx), 1)
+            return -jnp.mean(log_px - jnp.sum(kl, axis=-1))
+
+        v_sh, g_sh = jax.jit(jax.value_and_grad(loss_mesh))(
+            shard_params(params, mesh), shard_batch(x, mesh))
+        v_m, g_m = jax.jit(jax.value_and_grad(loss_manual))(params, x)
+        np.testing.assert_allclose(float(v_sh), float(v_m), rtol=1e-5)
+        for a, b in zip(jax.tree.leaves(g_sh), jax.tree.leaves(g_m)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=5e-4, atol=1e-5)
 
     def test_batch_sharding_distributes(self):
         mesh = make_mesh(8, 1)

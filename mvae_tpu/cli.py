@@ -180,6 +180,7 @@ def main(argv=None):
     result = trainer.fit(ll_max_examples=args.ll_max_examples,
                          profile_epochs=args.profile_epochs,
                          ll_repeats=args.ll_repeats)
+    result["fused_paths"] = trainer.fused_paths
     if args.generate:
         write_samples(args.generate)
 

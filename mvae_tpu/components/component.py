@@ -157,6 +157,11 @@ class Component:
             scale = jax.nn.softplus(raw_sig)  # sigma > 0
             if self.posterior == "riemannian":
                 scale = scale.squeeze(-1)
+            elif (self.posterior == "wrapped"
+                  and self.manifold.curvature_sign >= 0
+                  and self.manifold.kind != "e"):
+                # wrapped on s/p/u: saturate at the injectivity radius
+                scale = cap_sigma_positive_k(scale, k)
         return mu, scale, k
 
     def posterior_params(self, params, features):
@@ -165,6 +170,31 @@ class Component:
             [features @ params["w_mu"] + params["b_mu"],
              features @ params["w_sig"] + params["b_sig"]], axis=-1)
         return self.posterior_params_from_raw(params, raw)
+
+
+def cap_sigma_positive_k(sigma, k):
+    """Saturating posterior-scale cap at the positive-K injectivity radius
+    pi R = pi / sqrt(K) (round-4 stability fix, applied to wrapped
+    posteriors on manifolds whose curvature can be positive).
+
+    Rationale: on a compact space, wrapped normals with sigma beyond the
+    injectivity radius are statistically indistinguishable from uniform —
+    the tangent parametrization loses identifiability, and any truncation
+    of the wrap-image sum underestimates log q there, which round 3's
+    trainer exploited as free ELBO (sigma drifted to 38 = 6 periods;
+    results/r4_nan_probe_s6-wrapped.json). The cap is a smooth p=6
+    soft-min:  sigma_eff = cap * t * (1 + t^6)^(-1/6),  t = sigma/cap —
+    identity to <0.02% for sigma <= cap/3 (so moderate-sigma parity with
+    the reference family is untouched), asymptoting to cap = pi R.
+
+    Smooth in K through 0: for K <= 0 the clamp floor makes cap ~ 1e6 pi
+    and the correction underflows to exactly 0 (sigma unchanged), so the
+    same traced expression serves the universal manifold mid-crossing.
+    """
+    cap = jnp.pi * jax.lax.rsqrt(jnp.maximum(k, 1e-12))
+    t = jnp.minimum(sigma / cap, 8.0)       # gradient ~2e-6 beyond t=8
+    t2 = t * t
+    return cap * t * (1.0 + t2 * t2 * t2) ** (-1.0 / 6.0)
 
 
 class Reparametrized(NamedTuple):

@@ -357,6 +357,30 @@ def _log_sindiv_u_sgn(u, sign):
     return jnp.where(small, series, closed)
 
 
+def _log_sindiv_u_sgn_soft(u, sign):
+    """_log_sindiv_u_sgn with the mollified spherical branch (bounded
+    derivative at the injectivity shell — stable.log_abs_sin_soft); the
+    wrapped-normal DENSITY paths use this form (round-4 stability fix),
+    geometric ops keep the exact one."""
+    small, us, uc = stable._split_series_window(u)
+    sd_m1 = us * (-1.0 / 6 + us * (1.0 / 120 + us * (-1.0 / 5040
+                                                     + us * (1.0 / 362880))))
+    series = jnp.log1p(sd_m1)
+    e = stable.eps(u.dtype)
+    su = jnp.sqrt(jnp.abs(uc))
+    hyp = None
+    if sign <= 0:
+        hyp = su + jnp.log1p(-jnp.exp(-2.0 * su)) - jnp.log(2.0 * su)
+    if sign > 0:
+        closed = stable.log_abs_sin_soft(su) - jnp.log(jnp.maximum(su, e))
+    elif sign < 0:
+        closed = hyp
+    else:
+        sph = stable.log_abs_sin_soft(su) - jnp.log(jnp.maximum(su, e))
+        closed = jnp.where(uc > 0, sph, hyp)
+    return jnp.where(small, series, closed)
+
+
 def _make_reparam_kernel(n: int, wraps: int, sign: int):
     """Latent dim n on the LEADING (grid-unrolled) axis; each block is
     (n, 8, L) = n fully-packed (8 sublane x L lane) batch tiles covering
@@ -415,65 +439,96 @@ def _make_reparam_kernel(n: int, wraps: int, sign: int):
             z = z * scale[None]
             zn2 = jnp.maximum(zn2 * scale * scale, 0.0)
         zt_ref[:] = z
+        del smin  # legacy input (kept in the call signature/layout)
 
-        # principal preimage radius r_p = |log_map_mu0((-mu) (+) z)|: for
-        # K > 0 arctan lands in [0, pi/2) so r_p is principal by
-        # construction, exactly like the jnp inverse_sample_projection_mu0.
-        # The mobius vector is formed COMPONENTWISE — expanding |w|^2 in
-        # Gram terms cancels catastrophically in f32 near the antipode
-        muz = jnp.sum(mu * z, axis=0)
-        ca = 1.0 + 2.0 * k * muz - k * zn2            # (-mu) coefficient
-        cb = 1.0 + k * x2                             # z coefficient
-        denw = 1.0 + 2.0 * k * muz + k * k * x2 * zn2
-        denw = jnp.where(jnp.abs(denw) < 1e-6, 1e-6, denw)
-        inv_denw = 1.0 / denw                         # (8, L), as above
-        wv = (cb[None] * z - ca[None] * mu) * inv_denw[None]
-        w2 = jnp.sum(wv * wv, axis=0)
-        rp = 2.0 * jnp.sqrt(w2 + tin) * _arctandiv_u_sgn(k * w2, sign)
-        rp2 = rp * rp
-
-        quad = s2 / jnp.maximum(vsq, tin)             # sum((v_hat/sig)^2)
+        # log q: drawn-radius branch sum (round-4 stability fix, matching
+        # distributions.wrapped_normal._sample_log_prob_drawn). Every
+        # preimage of z along the drawn geodesic is (r + m T) v_hat with
+        # r = |v|, so the density needs only the SCALAR wrap of the drawn
+        # radius and z-scores from the drawn direction (r^2 quad = |eps|^2)
+        # — the mobius inverse round trip this kernel previously ran had
+        # O(eps * |v|) f32 direction noise that 1/sigma_j^2 amplified
+        # (the d2p2e2 NaN spiral; see wrapped_normal.py).
+        vsq_g = vsq + tin
+        r = jnp.sqrt(vsq_g)
+        quad = s2 / vsq_g
         half_l2pi = 0.5 * n * _LOG_2PI
-        logdet0 = (n - 1.0) * _log_sindiv_u_sgn(k * rp2, sign)
-        logq = -0.5 * rp2 * quad - ls - half_l2pi - logdet0
+
+        if sign < 0:
+            logq = (-0.5 * s2 - ls - half_l2pi
+                    - (n - 1.0) * _log_sindiv_u_sgn_soft(k * vsq_g, sign))
+        else:
+            kpos = jnp.maximum(k, 1e-20)
+            sqk = jnp.sqrt(kpos)
+            period = (2.0 * jnp.pi / sqk).astype(dt)
+            rp_w = jnp.abs(r - period * jnp.floor(r / period + 0.5))
+            rp = rp_w if sign > 0 else jnp.where(k > 0, rp_w, r)
+            if wraps == 0:
+                u_arg = (kpos * rp * rp if sign > 0
+                         else jnp.where(k > 0, kpos * rp * rp, k * vsq_g))
+                logq = (-0.5 * rp * rp * quad - ls - half_l2pi
+                        - (n - 1.0) * _log_sindiv_u_sgn_soft(u_arg, sign))
+            else:
+                x_red = sqk * rp
+                terms = []
+                for m in range(-(wraps + 3), wraps + 4):
+                    rb_raw = rp + m * period
+                    if m == 0:
+                        live, rb = None, rb_raw
+                    else:
+                        live = (k > 0) & (rb_raw * rb_raw * quad < 1e30)
+                        rb = jnp.where(live, rb_raw, rp)
+                    logn = -0.5 * rb * rb * quad - ls - half_l2pi
+                    log_sin_b = stable.log_abs_sin_soft(
+                        x_red, taper_x=sqk * jnp.abs(rb))
+                    sph = log_sin_b - jnp.log(
+                        jnp.maximum(sqk * jnp.abs(rb), tin))
+                    if sign > 0:
+                        logdet = (n - 1.0) * sph
+                    else:
+                        logdet = (n - 1.0) * jnp.where(
+                            k > 0, sph,
+                            _log_sindiv_u_sgn_soft(k * vsq_g, sign))
+                    t_b = logn - logdet
+                    if live is not None:
+                        t_b = jnp.where(live, t_b,
+                                        jnp.full_like(t_b, -1e30))
+                    terms.append(t_b)
+                mx = terms[0]
+                for t_b in terms[1:]:
+                    mx = jnp.maximum(mx, t_b)
+                acc = jnp.zeros_like(mx)
+                for t_b in terms:
+                    acc = acc + jnp.exp(t_b - mx)
+                logq = mx + jnp.log(acc)
 
         # prior WrappedNormal(mu0, 1): radius is just |log_map_mu0(z)|
         r0 = 2.0 * jnp.sqrt(zn2 + tin) * _arctandiv_u_sgn(k * zn2, sign)
         r02 = r0 * r0
         logp = -0.5 * r02 - half_l2pi \
-            - (n - 1.0) * _log_sindiv_u_sgn(k * r02, sign)
+            - (n - 1.0) * _log_sindiv_u_sgn_soft(k * r02, sign)
 
         if wraps > 0 and sign >= 0:
-            # wrap-image pairs on K > 0 (distributions.wrapped_normal
-            # semantics): every image shares the principal |sin_k| --
-            # sin(theta_p + 2 pi m) = sin(theta_p) -- so each branch costs
-            # a handful of scalar ops. Dead branches (K <= 0, or z-score
-            # overflow) evaluate at the principal radius and are masked.
+            # prior wrap-image pair (isotropic sigma = 1: nearest images
+            # only — the rest carry exp(-(2 pi R)^2/2) mass)
             period = (2.0 * jnp.pi
                       / jnp.sqrt(jnp.maximum(k, 1e-20))).astype(dt)
-            cap = 1e15
-
-            def branch_sum(log0, r_pr, quad_b, ls_b, smin_b):
-                sinr = r_pr * _sindiv_u_kernel(k * r_pr * r_pr)
-                lsk = _log_max(jnp.abs(sinr), tin)
-                terms = [log0]
-                for sgn in (1.0, -1.0):
-                    rb_raw = r_pr + sgn * period
-                    live = (k > 0) & (jnp.abs(rb_raw) < cap * smin_b)
-                    rb = jnp.where(live, rb_raw, r_pr)
-                    rb_a = jnp.abs(rb)
-                    logn_b = -0.5 * rb * rb * quad_b - ls_b - half_l2pi
-                    logd_b = (n - 1.0) * (lsk - _log_max(rb_a, tin))
-                    terms.append(jnp.where(live, logn_b - logd_b,
-                                           jnp.full_like(log0, -1e30)))
-                m = jnp.maximum(jnp.maximum(terms[0], terms[1]), terms[2])
-                return m + jnp.log(jnp.exp(terms[0] - m)
-                                   + jnp.exp(terms[1] - m)
-                                   + jnp.exp(terms[2] - m))
-
-            one = jnp.ones_like(logq)
-            logq = branch_sum(logq, rp, quad, ls, smin)
-            logp = branch_sum(logp, r0, one, jnp.zeros_like(ls), one)
+            sqk0 = jnp.sqrt(jnp.maximum(k, 1e-20))
+            terms = [logp]
+            for sgn in (1.0, -1.0):
+                rb_raw = r0 + sgn * period
+                live = (k > 0) & (jnp.abs(rb_raw) < 1e15)
+                rb = jnp.where(live, rb_raw, r0)
+                logn_b = -0.5 * rb * rb - half_l2pi
+                lsk_b = stable.log_abs_sin_soft(
+                    sqk0 * r0, taper_x=sqk0 * jnp.abs(rb)) - jnp.log(sqk0)
+                logd_b = (n - 1.0) * (lsk_b - _log_max(jnp.abs(rb), tin))
+                terms.append(jnp.where(live, logn_b - logd_b,
+                                       jnp.full_like(logp, -1e30)))
+            m = jnp.maximum(jnp.maximum(terms[0], terms[1]), terms[2])
+            logp = m + jnp.log(jnp.exp(terms[0] - m)
+                               + jnp.exp(terms[1] - m)
+                               + jnp.exp(terms[2] - m))
 
         lq_ref[:] = jnp.broadcast_to(logq, lq_ref.shape)
         lp_ref[:] = jnp.broadcast_to(logp, lp_ref.shape)
@@ -586,8 +641,8 @@ def _wrapped_reparam_jnp(eps, mu_t, sigma_t, k, wraps: int = 1):
     mu = mu_t.T
     sigma = sigma_t.T
     z = stereographic.sample_projection_mu0(v, mu, k)
-    v_p = stereographic.inverse_sample_projection_mu0(z, mu, k)
-    logq = wrapped_normal._log_prob_from_principal(man, v_p, sigma, k, wraps)
+    # round-4 semantics: log q of the drawn sample is round-trip-free
+    logq = wrapped_normal._sample_log_prob_drawn(man, v, sigma, k, wraps)
     logp = wrapped_normal.log_prob_mu0(man, z, jnp.ones((), eps.dtype), k,
                                        wraps=wraps)
     return jnp.moveaxis(z, -1, 0), logq, logp

@@ -65,8 +65,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..ops import stable
 from .manifold_kernels import (_arctandiv_u_sgn, _interpret, _log_max,
-                               _log_sindiv_u_sgn, _sindiv_u_kernel,
-                               _tandiv_u_sgn)
+                               _log_sindiv_u_sgn, _log_sindiv_u_sgn_soft,
+                               _sindiv_u_kernel, _tandiv_u_sgn)
 
 _LOG_2PI = 1.8378770664093453
 _LOG_4PI = math.log(4.0 * math.pi)
@@ -290,7 +290,15 @@ def _tile_vmf_s2(comp, raw, eps, k):
 def _tile_wrapped_stereo(comp, raw, eps, k):
     """WrappedNormal chain on the kappa-stereographic family (d/p/u):
     the Gram-coefficient mobius math of manifold_kernels._make_reparam_kernel
-    plus the in-tile mu head (exp_map_mu0 of the raw tangent)."""
+    plus the in-tile mu head (exp_map_mu0 of the raw tangent).
+
+    Round-4 stability semantics (matching distributions/wrapped_normal
+    ``_sample_log_prob_drawn`` + components ``cap_sigma_positive_k``):
+    sigma saturates at the positive-K injectivity radius; log q is the
+    drawn-radius branch sum — the principal radius is the SCALAR wrap of
+    the drawn |v| and the z-scores come from the drawn direction
+    (quad = |eps|^2/|v|^2), so no f32 inverse round trip exists for the
+    optimizer to farm; the log-det rides the shell-mollified |sin|."""
     sign = comp.manifold.curvature_sign
     wraps = comp.wraps
     n = comp.dim
@@ -299,6 +307,13 @@ def _tile_wrapped_stereo(comp, raw, eps, k):
     tin = stable.tiny(dt)
     mu_tan = raw[:n]
     sig = _sig_rows(comp, raw)
+    if sign >= 0:
+        # saturating cap at the injectivity radius (identical expression
+        # to components.component.cap_sigma_positive_k)
+        capr = jnp.pi * jax.lax.rsqrt(jnp.maximum(k, 1e-12))
+        tc_ = jnp.minimum(sig / capr, 8.0)
+        tc2 = tc_ * tc_
+        sig = capr * tc_ * (1.0 + tc2 * tc2 * tc2) ** (-1.0 / 6.0)
 
     negk = jnp.minimum(k, -tin)
     smax = (1.0 - e) * jax.lax.rsqrt(-negk)  # K<0 ball radius
@@ -316,8 +331,7 @@ def _tile_wrapped_stereo(comp, raw, eps, k):
     if sign <= 0:
         mu, _ = ball_clamp(mu, gm * gm * r2m)
     x2 = jnp.sum(mu * mu, axis=0, keepdims=True)
-    ls = jnp.sum(jnp.log(sig), axis=0, keepdims=True)
-    smin = jnp.min(sig, axis=0, keepdims=True)
+    ls = jnp.sum(jnp.log(jnp.maximum(sig, tin)), axis=0, keepdims=True)
 
     v = sig * eps
     vsq = jnp.sum(v * v, axis=0, keepdims=True)
@@ -342,51 +356,87 @@ def _tile_wrapped_stereo(comp, raw, eps, k):
     if sign <= 0:
         z, zn2 = ball_clamp(z, zn2)
 
-    # principal preimage radius via the componentwise (-mu) (+) z vector
-    muz = jnp.sum(mu * z, axis=0, keepdims=True)
-    ca = 1.0 + 2.0 * k * muz - k * zn2
-    cb = 1.0 + k * x2
-    denw = 1.0 + 2.0 * k * muz + k * k * x2 * zn2
-    denw = jnp.where(jnp.abs(denw) < 1e-6, 1e-6, denw)
-    wv = (cb * z - ca * mu) * (1.0 / denw)
-    w2 = jnp.sum(wv * wv, axis=0, keepdims=True)
-    rp = 2.0 * jnp.sqrt(w2 + tin) * _arctandiv_u_sgn(k * w2, sign)
-    rp2 = rp * rp
-
-    quad = s2 / jnp.maximum(vsq, tin)
+    # log q: drawn-radius branch sum (round-trip-free; r^2*quad == |eps|^2)
+    vsq_g = vsq + tin
+    r = jnp.sqrt(vsq_g)
+    quad = s2 / vsq_g
     half_l2pi = 0.5 * n * _LOG_2PI
-    logq = (-0.5 * rp2 * quad - ls - half_l2pi
-            - (n - 1.0) * _log_sindiv_u_sgn(k * rp2, sign))
+
+    if sign < 0:
+        # pinned negative curvature never wraps: principal preimage = v
+        logq = (-0.5 * s2 - ls - half_l2pi
+                - (n - 1.0) * _log_sindiv_u_sgn_soft(k * vsq_g, sign))
+    else:
+        kpos = jnp.maximum(k, 1e-20)
+        sqk = jnp.sqrt(kpos)
+        period = (2.0 * jnp.pi / sqk).astype(dt)
+        rp_w = jnp.abs(r - period * jnp.floor(r / period + 0.5))
+        rp = rp_w if sign > 0 else jnp.where(k > 0, rp_w, r)
+        if wraps == 0:
+            u_arg = (kpos * rp * rp if sign > 0
+                     else jnp.where(k > 0, kpos * rp * rp, k * vsq_g))
+            logq = (-0.5 * rp * rp * quad - ls - half_l2pi
+                    - (n - 1.0) * _log_sindiv_u_sgn_soft(u_arg, sign))
+        else:
+            x_red = sqk * rp
+            terms = []
+            for m in range(-(wraps + 3), wraps + 4):
+                rb_raw = rp + m * period
+                if m == 0:
+                    live, rb = None, rb_raw
+                else:
+                    live = (k > 0) & (rb_raw * rb_raw * quad < 1e30)
+                    rb = jnp.where(live, rb_raw, rp)
+                logn = -0.5 * rb * rb * quad - ls - half_l2pi
+                log_sin_b = stable.log_abs_sin_soft(
+                    x_red, taper_x=sqk * jnp.abs(rb))
+                sph = log_sin_b - jnp.log(
+                    jnp.maximum(sqk * jnp.abs(rb), tin))
+                if sign > 0:
+                    logdet = (n - 1.0) * sph
+                else:
+                    logdet = (n - 1.0) * jnp.where(
+                        k > 0, sph, _log_sindiv_u_sgn_soft(k * vsq_g, sign))
+                t_b = logn - logdet
+                if live is not None:
+                    t_b = jnp.where(live, t_b,
+                                    jnp.full_like(t_b, -1e30))
+                terms.append(t_b)
+            mx = terms[0]
+            for t_b in terms[1:]:
+                mx = jnp.maximum(mx, t_b)
+            acc = jnp.zeros_like(mx)
+            for t_b in terms:
+                acc = acc + jnp.exp(t_b - mx)
+            logq = mx + jnp.log(acc)
+
+    # log p: prior WrappedNormal(mu0, 1) at z — the preimage radius is the
+    # direct arctan form from z (no round trip; isotropic sigma = 1)
     r0 = 2.0 * jnp.sqrt(zn2 + tin) * _arctandiv_u_sgn(k * zn2, sign)
     r02 = r0 * r0
     logp = (-0.5 * r02 - half_l2pi
-            - (n - 1.0) * _log_sindiv_u_sgn(k * r02, sign))
+            - (n - 1.0) * _log_sindiv_u_sgn_soft(k * r02, sign))
 
     if wraps > 0 and sign >= 0:
         period = (2.0 * jnp.pi
                   / jnp.sqrt(jnp.maximum(k, 1e-20))).astype(dt)
         cap = 1e15
-
-        def branch_sum(log0, r_pr, quad_b, ls_b, smin_b):
-            sinr = r_pr * _sindiv_u_kernel(k * r_pr * r_pr)
-            lsk = _log_max(jnp.abs(sinr), tin)
-            terms = [log0]
-            for sgn in (1.0, -1.0):
-                rb_raw = r_pr + sgn * period
-                live = (k > 0) & (jnp.abs(rb_raw) < cap * smin_b)
-                rb = jnp.where(live, rb_raw, r_pr)
-                logn_b = -0.5 * rb * rb * quad_b - ls_b - half_l2pi
-                logd_b = (n - 1.0) * (lsk - _log_max(jnp.abs(rb), tin))
-                terms.append(jnp.where(live, logn_b - logd_b,
-                                       jnp.full_like(log0, -1e30)))
-            m = jnp.maximum(jnp.maximum(terms[0], terms[1]), terms[2])
-            return m + jnp.log(jnp.exp(terms[0] - m)
-                               + jnp.exp(terms[1] - m)
-                               + jnp.exp(terms[2] - m))
-
-        one = jnp.ones_like(logq)
-        logq = branch_sum(logq, rp, quad, ls, smin)
-        logp = branch_sum(logp, r0, one, jnp.zeros_like(ls), one)
+        sqk0 = jnp.sqrt(jnp.maximum(k, 1e-20))
+        terms = [logp]
+        for sgn in (1.0, -1.0):
+            rb_raw = r0 + sgn * period
+            live = (k > 0) & (jnp.abs(rb_raw) < cap)
+            rb = jnp.where(live, rb_raw, r0)
+            logn_b = -0.5 * rb * rb - half_l2pi
+            lsk_b = stable.log_abs_sin_soft(
+                sqk0 * r0, taper_x=sqk0 * jnp.abs(rb)) - jnp.log(sqk0)
+            logd_b = (n - 1.0) * (lsk_b - _log_max(jnp.abs(rb), tin))
+            terms.append(jnp.where(live, logn_b - logd_b,
+                                   jnp.full_like(logp, -1e30)))
+        m = jnp.maximum(jnp.maximum(terms[0], terms[1]), terms[2])
+        logp = m + jnp.log(jnp.exp(terms[0] - m)
+                           + jnp.exp(terms[1] - m)
+                           + jnp.exp(terms[2] - m))
 
     return z, logq - logp, logq, logp
 

@@ -216,6 +216,60 @@ def log_sindiv_u(u: Array) -> Array:
     return jnp.where(small, series, closed)
 
 
+# Mollification width for the wrapped-normal log-det near the positive-K
+# injectivity shell (see log_abs_sin_soft). 1e-3 bounds the cot-type
+# derivative at ~500 while perturbing log-density values only within
+# ~1e-3 of the shell (< 1e-3-nat ELBO/IWAE bias, measured in
+# tests/distributions/test_wrapped_stability.py).
+SHELL_DELTA = 1e-3
+
+
+def log_abs_sin_soft(x: Array, taper_x: Array | None = None,
+                     delta: float = SHELL_DELTA) -> Array:
+    """log|sin x| with a SMOOTH floor near the sin zeros at m pi, m >= 1.
+
+    The wrapped-normal log-det term log|sin x| has a cot-type derivative
+    diverging like 1/(m pi - x) at the injectivity shell (m odd: the
+    antipode) and the conjugate points (m even: full wraps back to mu);
+    the single-sample reparam gradient estimator is heavy-tailed there
+    (non-integrable second moment), which fed round 3's positive-K KL
+    spirals. 0.5*log(sin^2 x + d^2) is the log-density of a MOLLIFIED
+    model with d = delta * min(taper_x/pi, 1)^3: values change only
+    within ~delta of a shell zero, the derivative there is bounded by
+    ~pi/(2 delta), and the cubic taper keeps the REMOVABLE zero at
+    taper_x = 0 exact to f64 oracle tolerance (contamination
+    (d/sin)^2/2 ~ 1e-13 at x = 0.1, the series-window edge).
+
+    ``taper_x`` defaults to x. Multi-branch wrapped densities pass the
+    principal-REDUCED angle as ``x`` (all branches share |sin|) and each
+    branch's UNREDUCED radius as ``taper_x`` — so the m = 0 branch stays
+    exact near 0 while full-wrap branches (whose Jacobian zero at the
+    same reduced angle is a true conjugate-point singularity) are
+    floored."""
+    s = jnp.sin(x)
+    t = jnp.minimum((x if taper_x is None else taper_x) * (1.0 / jnp.pi),
+                    1.0)
+    d = delta * t * t * t
+    return 0.5 * jnp.log(s * s + d * d)
+
+
+def log_sindiv_u_soft(u: Array) -> Array:
+    """log_sindiv_u with the mollified spherical closed branch (bounded
+    derivative at the injectivity shell u = pi^2; identical elsewhere).
+    Wrapped-normal density paths use this form; geometric ops keep the
+    exact log_sindiv_u."""
+    small, us, uc = _split_series_window(u)
+    sd_m1 = us * (-1.0 / 6 + us * (1.0 / 120 + us * (-1.0 / 5040
+                                                     + us * (1.0 / 362880))))
+    series = jnp.log1p(sd_m1)
+    su = jnp.sqrt(jnp.abs(uc))
+    e = eps(u.dtype)
+    sph = log_abs_sin_soft(su) - jnp.log(jnp.maximum(su, e))
+    hyp = su + jnp.log1p(-jnp.exp(-2.0 * su)) - jnp.log(2.0 * su)
+    closed = jnp.where(uc > 0, sph, hyp)
+    return jnp.where(small, series, closed)
+
+
 # --- convenience wrappers in terms of (r, K) ---------------------------------
 
 

@@ -33,6 +33,9 @@ class MetricsLogger:
             if isinstance(v, (list, tuple)):
                 rec[key] = [float(x) for x in v]
                 continue  # sequences go to JSONL only, not TB scalars
+            if isinstance(v, str):
+                rec[key] = v  # status markers etc.: JSONL only
+                continue
             rec[key] = float(v)
             if self._tb is not None:
                 self._tb.add_scalar(key, float(v), step)

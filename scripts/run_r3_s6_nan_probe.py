@@ -53,7 +53,7 @@ def main():
 
     probe_x = binarize_batch(
         jax.random.key(123),
-        jnp.asarray(ds.train[:1024].reshape(1024, -1), jnp.float32), True)
+        jnp.asarray(ds.train[:1024], jnp.float32), True)
     comp = cfg.components[0]
     n = comp.dim
 
@@ -63,8 +63,7 @@ def main():
         raw = vae._fused_head_raw(cfg, params, feats)[0]
         mu_tan, raw_sig = raw[..., :n], raw[..., n:]
         sig = jax.nn.softplus(raw_sig)
-        k = params["components"][0]["curvature"]
-        kv = comp.manifold.curvature_value(k)
+        kv = comp.curvature(params["components"][0])
         # principal sample radii for a fresh draw (same math as training)
         v = sig * jax.random.normal(jax.random.key(7), sig.shape)
         man = comp.manifold
@@ -80,14 +79,28 @@ def main():
                 "rp_max_frac": (rp / rmax).max(),
                 "rp_shell_frac": (rp > 0.99 * rmax).mean()}
 
-    def grad_stats(params, allow_fused):
+    def make_grad_stats(allow_fused):
         def scalar_loss(p):
             loss, _ = vae.loss_fn(jax.random.key(99), cfg, p, probe_x,
                                   allow_fused=allow_fused)
             return loss
-        loss, g = jax.value_and_grad(scalar_loss)(params)
-        leaves = jax.tree.leaves(g)
-        gmax = jnp.max(jnp.stack([jnp.max(jnp.abs(x)) for x in leaves]))
+
+        @jax.jit
+        def stats(params):
+            loss, g = jax.value_and_grad(scalar_loss)(params)
+            leaves = jax.tree.leaves(g)
+            gmax = jnp.max(jnp.stack([jnp.max(jnp.abs(x)) for x in leaves]))
+            return loss, gmax
+        return stats
+
+    # jitted once each (advisor r3: the un-jitted per-epoch value_and_grad
+    # eagerly dispatched the full loss+grad twice per epoch on this 1-core
+    # host)
+    _gs_fused = make_grad_stats(True)
+    _gs_jnp = make_grad_stats(False)
+
+    def grad_stats(params, allow_fused):
+        loss, gmax = (_gs_fused if allow_fused else _gs_jnp)(params)
         return float(loss), float(gmax)
 
     rows = []

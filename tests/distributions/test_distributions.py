@@ -305,9 +305,13 @@ class TestWrappedNormalDeadBranchSafety:
             jnp.asarray([0.2, -0.1, 0.3], F64), k), (64, 4))
         sig = jnp.asarray(0.8, F64)
         z, lq = wrapped_normal.sample_and_log_prob(key(21), man, mu, sig, k)
-        # against an independent recomputation through log_prob
+        # against an independent recomputation through log_prob — a
+        # genuinely different formulation since round 4 (drawn-direction
+        # branch sum vs inverse round trip), so agreement is limited by
+        # the round trip's own f64 noise (~1e-8), not bit-exactness
         np.testing.assert_allclose(np.asarray(lq), np.asarray(
-            wrapped_normal.log_prob(man, z, mu, sig, k)), rtol=1e-10)
+            wrapped_normal.log_prob(man, z, mu, sig, k)),
+            rtol=1e-7, atol=1e-7)
 
 
 class TestSphericalAntipode:

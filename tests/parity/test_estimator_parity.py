@@ -89,8 +89,9 @@ def _jax_component_pass(key, cfg, params, feats):
 
 
 def _jax_principal_log_q(man, z, mu, sigma, k):
-    """This framework's density restricted to the principal branch — the
-    reference's semantics, for the sharp oracle comparison."""
+    """This framework's density restricted to the principal branch with
+    the EXACT (unmollified) log-det — the reference's semantics, for the
+    sharp oracle comparison."""
     v = man.inverse_sample_projection_mu0(z, mu, k)
     r = stable.safe_norm(v)
     return jnormal.log_prob(v, jnp.zeros((), v.dtype), sigma) \
@@ -206,7 +207,11 @@ class TestForwardParity:
                                            jnp.ones((), rep.z.dtype), k))
             dq = _np(rep.log_q) - lq0
             dp = _np(rep.log_p) - lp0
-            assert dq.min() > -1e-10 and dp.min() > -1e-10, (spec, comp.name)
+            # wrap mass only adds; the round-4 shell MOLLIFIER perturbs
+            # the full density by up to ~(delta*(x/pi)^3/sin x)^2/2 per
+            # dim (~1e-7 at these draw radii), hence the small negative
+            # allowance against the exact-log-det principal reference
+            assert dq.min() > -1e-6 and dp.min() > -1e-6, (spec, comp.name)
             # posterior at sigma 0.25: wrap mass below noise; prior at
             # sigma 1: up to ~0.03 nat on these draws (measured r <~ 2)
             assert dq.max() < 1e-6, (spec, comp.name, dq.max())

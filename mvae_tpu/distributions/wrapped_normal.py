@@ -260,16 +260,29 @@ def _sample_log_prob_drawn(man, v, sigma, k, wraps: int):
             live = (k > 0) & (rb_raw * rb_raw * quad < 1e30)
             rb = jnp.where(live, rb_raw, rp)
         logn = -0.5 * rb * rb * quad + const
-        log_sin_b = stable.log_abs_sin_soft(x_red,
-                                            taper_x=sqrt_k * jnp.abs(rb))
-        # logdet(rb) = (n-1) [log|sin| - log(sqrt(K) |rb|)];
-        # smooth-in-K principal form when K can cross zero (kind 'u')
-        sph = log_sin_b - jnp.log(jnp.maximum(sqrt_k * jnp.abs(rb), tin))
-        if man.curvature_sign > 0:
-            logdet = (n - 1) * sph
+        if m == 0:
+            # the m = 0 branch's log-det zero at rp = 0 is the REMOVABLE
+            # one (logdet -> 0): use the series-windowed log(sin x / x)
+            # form. The split sph below is -inf there when a drawn radius
+            # lands within half an ulp of a full period (f32 wrap gives
+            # rp == 0 EXACTLY, and taper_x = 0 kills the mollifier floor
+            # too) — observed once in 5M IWAE draws of the r4 matrix
+            # (d2p2e2 example 8535, sample 175: NaN headline LL).
+            u0 = (kpos * rp * rp if man.curvature_sign > 0
+                  else jnp.where(k > 0, kpos * rp * rp, k * vsq))
+            logdet = (n - 1) * _log_sindiv_u_soft(u0)
         else:
-            logdet = (n - 1) * jnp.where(
-                k > 0, sph, _log_sindiv_u_soft(k * vsq))
+            log_sin_b = stable.log_abs_sin_soft(
+                x_red, taper_x=sqrt_k * jnp.abs(rb))
+            # logdet(rb) = (n-1) [log|sin| - log(sqrt(K) |rb|)];
+            # smooth-in-K principal form when K can cross zero (kind 'u')
+            sph = log_sin_b - jnp.log(jnp.maximum(sqrt_k * jnp.abs(rb),
+                                                  tin))
+            if man.curvature_sign > 0:
+                logdet = (n - 1) * sph
+            else:
+                logdet = (n - 1) * jnp.where(
+                    k > 0, sph, _log_sindiv_u_soft(k * vsq))
         logp = logn - logdet
         if live is not None:
             logp = jnp.where(live, logp, jnp.asarray(-1e30, logp.dtype))

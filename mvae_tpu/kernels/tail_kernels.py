@@ -388,15 +388,26 @@ def _tile_wrapped_stereo(comp, raw, eps, k):
                     live = (k > 0) & (rb_raw * rb_raw * quad < 1e30)
                     rb = jnp.where(live, rb_raw, rp)
                 logn = -0.5 * rb * rb * quad - ls - half_l2pi
-                log_sin_b = stable.log_abs_sin_soft(
-                    x_red, taper_x=sqk * jnp.abs(rb))
-                sph = log_sin_b - jnp.log(
-                    jnp.maximum(sqk * jnp.abs(rb), tin))
-                if sign > 0:
-                    logdet = (n - 1.0) * sph
+                if m == 0:
+                    # removable zero at rp = 0: series-windowed
+                    # log(sin x / x) (the split form below is -inf when
+                    # an f32 draw wraps to rp == 0 exactly — the d2p2e2
+                    # eval NaN; see wrapped_normal.py)
+                    u0 = (kpos * rp * rp if sign > 0
+                          else jnp.where(k > 0, kpos * rp * rp,
+                                         k * vsq_g))
+                    logdet = (n - 1.0) * _log_sindiv_u_sgn_soft(u0, sign)
                 else:
-                    logdet = (n - 1.0) * jnp.where(
-                        k > 0, sph, _log_sindiv_u_sgn_soft(k * vsq_g, sign))
+                    log_sin_b = stable.log_abs_sin_soft(
+                        x_red, taper_x=sqk * jnp.abs(rb))
+                    sph = log_sin_b - jnp.log(
+                        jnp.maximum(sqk * jnp.abs(rb), tin))
+                    if sign > 0:
+                        logdet = (n - 1.0) * sph
+                    else:
+                        logdet = (n - 1.0) * jnp.where(
+                            k > 0, sph,
+                            _log_sindiv_u_sgn_soft(k * vsq_g, sign))
                 t_b = logn - logdet
                 if live is not None:
                     t_b = jnp.where(live, t_b,

@@ -204,3 +204,79 @@ class TestDeathStepReproducer:
         assert abs(float(kl)) < 1e3, kl
         for g in grads:
             assert np.all(np.isfinite(np.asarray(g)))
+
+
+class TestFullPeriodWrapEdge:
+    """A drawn radius within half an ulp of a FULL geodesic period reduces
+    to rp == 0 EXACTLY in f32 (r = fl(2 pi / sqrt(K)) itself does); the
+    m = 0 log-det must then take the series (removable-zero) form — the
+    split log|sin rp| - log(max(rp, tiny)) form is -inf there, which turned
+    one IWAE log-weight into +inf - inf = NaN and killed the d2p2e2-learnK
+    r4-matrix headline (example 8535, IWAE sample 175 of 5M draws)."""
+
+    K = np.float32(0.59581786)   # the trained p2 curvature that died
+
+    def _edge_draws(self):
+        period = np.float32(2.0 * np.pi / np.sqrt(self.K))
+        radii = []
+        for mult in (1.0, 2.0):   # full-period and double-wrap collisions
+            r = np.float32(mult) * period
+            for _ in range(3):
+                r = np.nextafter(r, np.float32(0.0))
+            for _ in range(7):
+                radii.append(np.float32(r))
+                r = np.nextafter(r, np.float32(np.inf))
+        return period, radii
+
+    def test_rp_zero_reachable(self):
+        """The exact f32 period value must reduce to rp == 0 under the
+        library's wrap arithmetic (else the other tests are vacuous)."""
+        period, radii = self._edge_draws()
+        tin = np.float32(stable.tiny(F32))
+        rps = []
+        for r in radii:
+            rr = np.float32(np.sqrt(np.float32(r * r) + tin))
+            rps.append(np.float32(
+                abs(rr - period * np.float32(np.floor(rr / period + 0.5)))))
+        assert min(rps) == 0.0, rps
+
+    @pytest.mark.parametrize("kind", ["p", "u", "s"])
+    def test_jnp_drawn_density_finite_at_full_period(self, kind):
+        man = Manifold(kind, 2)
+        _, radii = self._edge_draws()
+        sigma = jnp.asarray([4.0687432, 4.0698075], F32)  # the dead head's
+        v32 = jnp.asarray([[r, 0.0] for r in radii], F32)
+        lq32 = wrapped_normal._sample_log_prob_drawn(
+            man, v32, sigma, jnp.asarray(self.K, F32), wraps=1)
+        assert np.all(np.isfinite(np.asarray(lq32))), np.asarray(lq32)
+        # f64 oracle: its period differs from the f32 one, so no exact
+        # rp == 0 collision — a finite independent value to match
+        lq64 = wrapped_normal._sample_log_prob_drawn(
+            man, v32.astype(F64), sigma.astype(F64),
+            jnp.asarray(self.K, F64), wraps=1)
+        np.testing.assert_allclose(np.asarray(lq32), np.asarray(lq64),
+                                   rtol=1e-4, atol=5e-3)
+
+    def test_kernel_reparam_finite_at_full_period(self, monkeypatch):
+        monkeypatch.setenv("MVAE_FUSED_REPARAM", "1")
+        from mvae_tpu.kernels.manifold_kernels import (
+            _wrapped_reparam_jnp, wrapped_reparam_stereo_t)
+        _, radii = self._edge_draws()
+        n, S = 2, len(radii)
+        b = 4
+        kk = jnp.asarray(self.K, F32)
+        # one edge draw per sample slot in column 0; benign noise elsewhere
+        eps = 0.3 * jax.random.normal(key(3), (n, S, b), F32)
+        eps = eps.at[0, :, 0].set(jnp.asarray(radii, F32))
+        eps = eps.at[1, :, 0].set(0.0)
+        mu_t = 0.2 * jax.random.normal(key(4), (n, b), F32)
+        sig_t = jnp.ones((n, b), F32)   # v = eps exactly in column 0
+        z1, lq1, lp1 = wrapped_reparam_stereo_t(eps, mu_t, sig_t, kk,
+                                                wraps=1, sign=1)
+        for a in (z1, lq1, lp1):
+            assert np.all(np.isfinite(np.asarray(a))), np.asarray(a)
+        _, lq2, lp2 = _wrapped_reparam_jnp(eps, mu_t, sig_t, kk, wraps=1)
+        np.testing.assert_allclose(np.asarray(lq1), np.asarray(lq2),
+                                   rtol=1e-4, atol=3e-3)
+        np.testing.assert_allclose(np.asarray(lp1), np.asarray(lp2),
+                                   rtol=1e-4, atol=3e-3)

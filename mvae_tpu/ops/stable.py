@@ -220,8 +220,11 @@ def log_sindiv_u(u: Array) -> Array:
 # injectivity shell (see log_abs_sin_soft). 1e-3 bounds the cot-type
 # derivative at ~500 while perturbing log-density values only within
 # ~1e-3 of the shell (< 1e-3-nat ELBO/IWAE bias, measured in
-# tests/distributions/test_wrapped_stability.py).
-SHELL_DELTA = 1e-3
+# tests/distributions/test_wrapped_stability.py). Trace-time env override
+# (MVAE_SHELL_DELTA) for convergence-vs-stability experiments; read ONCE
+# at import, like the kernel routing flags.
+SHELL_DELTA = float(__import__("os").environ.get("MVAE_SHELL_DELTA",
+                                                 "1e-3"))
 
 
 def log_abs_sin_soft(x: Array, taper_x: Array | None = None,

@@ -28,11 +28,12 @@ BS = 8
 
 def _comp_descr(components):
     return [{"kind": c.manifold.kind, "dim": c.dim,
+             "posterior": c.posterior,
              "fixed_curvature": c.fixed_curvature} for c in components]
 
 
 def _noise_kinds(components):
-    return [(c.manifold.kind, c.dim) for c in components]
+    return [(c.manifold.kind, c.dim, c.posterior) for c in components]
 
 
 def _max_rel_delta(jax_params, torch_params):
@@ -45,10 +46,18 @@ def _max_rel_delta(jax_params, torch_params):
     return out
 
 
-@pytest.mark.parametrize("spec,fixed", [("e2", True), ("h2", False),
-                                        ("s2", True), ("h2,s2,e2", True)])
+@pytest.mark.parametrize("spec,fixed", [
+    ("e2", True), ("h2", False), ("s2", True), ("h2,s2,e2", True),
+    # round-4 families: positive-K wrapped (sphere + stereographic with
+    # learnable K), Wood-rejection vMF (m = 5), Riemannian normal
+    ("s2:wrapped", True), ("u2", False), ("s4", True),
+    ("d2:riemannian", True)])
 def test_one_epoch_matches_torch_replica(tmp_path, spec, fixed):
-    comps = parse_components(spec, fixed_curvature=fixed)
+    # wraps=0 pins principal-branch (reference-estimator) semantics on the
+    # jax side: the torch replica's wrapped/prior densities are principal-
+    # only, and at K ~ 1 the nearest wrap image carries ~1e-2 relative
+    # mass — far above this test's 5e-4 one-epoch drift budget
+    comps = parse_components(spec, fixed_curvature=fixed, wraps=0)
     cfg = vae.VAEConfig(components=comps, data_shape=(D,), h_dim=16)
     rng = np.random.default_rng(0)
     train = (rng.uniform(size=(N_TRAIN, D)) > 0.5).astype(np.float32) * 0.8

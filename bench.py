@@ -27,10 +27,13 @@ DATA_DIM = 784
 H_DIM = 400
 # one measured "chunk" = one jitted scan of this many steps. Training runs
 # whole epochs (hundreds to thousands of steps) as ONE scan, so the honest
-# steady-state number needs the axon per-call dispatch+readback (~26-33 ms
-# measured) amortized the same way: at 500 steps it was still ~30% of the
-# measurement; at 2000 it is <10%.
-SCAN_STEPS = 2000
+# steady-state number needs the axon per-call dispatch+readback overhead
+# amortized the same way. Round-4 measurement: the overhead is ~25-30 ms
+# PER EXECUTION (program-dependent, not per-step): 75.5 us/step at a
+# 2000-step chunk vs 60.5 us/step at 32000 against a profiler device time
+# of 59.9 us/step — at 32000 the wall number is within ~1% of the device
+# floor, i.e. it measures the chip, not the relay.
+SCAN_STEPS = 32000
 REPEATS = 3
 
 
@@ -197,6 +200,32 @@ def main():
         f"measured {1/t_step:.0f} = {pct_ceiling:.0f}% of ceiling "
         f"({mxu_util*100:.1f}% MXU, {hbm_gbps:.0f} GB/s)")
 
+    # Cross-check the hand model's MAC count against the COMPILED
+    # program's own cost analysis. Only the flops side is trusted: the
+    # analysis' "bytes accessed" overcounts fusion-boundary traffic 2-4x
+    # on this backend (124 MB/step here where >50 MB/step is physically
+    # impossible at the measured rate), so it is recorded for reference
+    # but not used as a ceiling.
+    mlp_cost = None
+    try:
+        # analyze ONE step (the scan body as a standalone jit): this
+        # backend's cost analysis does not descend into while-loop trip
+        # counts, so analyzing the scanned chunk reports ~zero work
+        _cost = jax.jit(one_step).lower(
+            (params, opt_state, intensities),
+            jax.random.key(2, impl=RNG)).compile().cost_analysis()
+        if isinstance(_cost, (list, tuple)):
+            _cost = _cost[0]
+        mlp_cost = {"macs": float(_cost["flops"]) / 2.0,
+                    "bytes_accessed_raw": float(_cost["bytes accessed"])}
+        log(f"step compiled-HLO cost: {mlp_cost['macs']/1e6:.0f} MMACs "
+            f"(hand model {gemm_macs/1e6:.0f}; the delta is the skipped "
+            f"first-layer input dgrad), bytes-accessed "
+            f"{mlp_cost['bytes_accessed_raw']/1e6:.1f} MB (raw, "
+            f"overcounted — reference only)")
+    except Exception as e:
+        log(f"step cost analysis unavailable ({type(e).__name__}: {e})")
+
     # bf16-operand GEMM path (MVAE_BF16_MATMUL) at h_dim 400 and 1024
     from mvae_tpu.models import nets as _nets
     bf16 = {}
@@ -257,7 +286,8 @@ def main():
     opt_c = tx_c.init(params_c)
     intens_c = jax.random.uniform(jax.random.key(1), (CB, HW, HW, CC),
                                   dtype=jnp.float32)
-    CONV_STEPS = 500
+    CONV_STEPS = 4000  # ~1.2 s/chunk: the ~25-30 ms per-execution relay
+    # overhead (see SCAN_STEPS note) drops below ~3% of the measurement
 
     def one_step_c(carry, step_key):
         params, opt_state, intens = carry
@@ -291,37 +321,48 @@ def main():
         tc_times.append(time.time() - t0)
     conv_sps = CONV_STEPS / min(tc_times)
     t_cstep = 1.0 / conv_sps
-    # fwd MACs/example: conv1 786K + conv2 8.39M + enc fc 3.28M + heads
-    # + dec fc1/fc2 3.28M + deconv1 8.39M + deconv2 786K  (~24.9M); x3 bwd
-    c1, c2 = 64, 128
-    sp4 = HW // 4
-    head_c = sum(c.head_width for c in cfg_c.components)
-    conv_macs_fwd = CB * (
-        (HW // 2) ** 2 * c1 * (4 * 4 * CC)            # conv1
-        + sp4 * sp4 * c2 * (4 * 4 * c1)               # conv2
-        + sp4 * sp4 * c2 * H_DIM                      # enc fc
-        + H_DIM * head_c + cfg_c.z_dim * H_DIM        # heads + dec fc1
-        + H_DIM * sp4 * sp4 * c2                      # dec fc2
-        + sp4 * sp4 * c2 * (4 * 4 * c1)               # deconv1 (tap-exact)
-        + (HW // 2) ** 2 * c1 * (4 * 4 * CC))         # deconv2
-    conv_macs = 3 * conv_macs_fwd
-    n_params_c = sum(x.size for x in jax.tree.leaves(params_c))
-    act_words_c = CB * (HW * HW * CC + (HW // 2) ** 2 * c1
-                        + 2 * sp4 * sp4 * c2 + 2 * H_DIM
-                        + sp4 * sp4 * c2 + (HW // 2) ** 2 * c1
-                        + HW * HW * CC)
-    # optimizer 7P (wgrads fuse into Adam, as in the MLP model above);
-    # each activation buffer crosses HBM ~2x (fwd write + bwd read)
-    hbm_c = (7 * n_params_c + 2 * act_words_c) * 4
-    t_mxu_c = conv_macs / (mxu_tmacs * 1e12)
-    t_hbm_c = hbm_c / (stream_gbps * 1e9)
-    t_ceil_c = max(t_mxu_c, t_hbm_c)
-    conv_binding = "mxu" if t_mxu_c >= t_hbm_c else "hbm"
-    log(f"conv u6 B={CB}: {conv_sps:.1f} steps/s; model: "
-        f"{conv_macs/1e6:.0f} MMACs -> {t_mxu_c*1e6:.0f} us, "
-        f"{hbm_c/1e6:.1f} MB -> {t_hbm_c*1e6:.0f} us; binding="
-        f"{conv_binding}, ceiling {1/t_ceil_c:.0f} steps/s "
-        f"({100*t_ceil_c/t_cstep:.0f}% reached)")
+    # Leak-proof conv ceiling (round-4 VERDICT #3): the PURE-MXU bound —
+    # the MAC count of the OPTIMIZED program itself (compiled
+    # cost_analysis flops/2, verified against shape arithmetic: it even
+    # accounts for the skipped first-layer input dgrad) priced at the
+    # live-measured MXU GEMM rate the convs cannot exceed. This is
+    # deliberately the ONLY resource term: two rounds of byte models
+    # leaked in succession —
+    #   * r3's hand activation model: 131.9% reached (the fused-tail
+    #     rewrite changed which buffers round-trip HBM);
+    #   * r4's "Adam must move 6P words" model: 104% reached (XLA keeps
+    #     a large share of the while-carry optimizer state VMEM-resident
+    #     across scan iterations on this chip — 82 MB state vs 128 MB
+    #     VMEM);
+    #   * the compiled cost analysis' own "bytes accessed": overcounts
+    #     fusion-boundary traffic 2-4x (124 MB/step on the MLP where
+    #     >50 MB/step is physically impossible at the measured rate).
+    # Post-fusion HBM traffic on this backend is simply not statically
+    # accountable; the MXU floor is. The ceiling is therefore loose
+    # (binding resources include VPU transposed-conv work and real HBM
+    # traffic), and %-of-ceiling is a LOWER bound on true efficiency.
+    conv_macs = None
+    try:
+        # single-step analysis: this backend's cost analysis does not
+        # descend into while-loop trip counts, so analyze the scan body
+        _cost = jax.jit(one_step_c).lower(
+            (params_c, opt_c, intens_c),
+            jax.random.key(7, impl=RNG)).compile().cost_analysis()
+        if isinstance(_cost, (list, tuple)):
+            _cost = _cost[0]
+        conv_macs = float(_cost["flops"]) / 2.0
+    except Exception as e:  # backend without cost analysis
+        log(f"conv cost analysis unavailable ({type(e).__name__}: {e}); "
+            "no conv ceiling this run")
+    if conv_macs:
+        t_ceil_c = conv_macs / (mxu_tmacs * 1e12)
+        conv_binding = "mxu (loose: HBM/VPU terms not statically provable)"
+        log(f"conv u6 B={CB}: {conv_sps:.1f} steps/s; MXU floor: "
+            f"{conv_macs/1e6:.0f} MMACs -> {t_ceil_c*1e6:.0f} us, "
+            f"ceiling {1/t_ceil_c:.0f} steps/s "
+            f"({100*t_ceil_c/t_cstep:.0f}% reached)")
+    else:
+        t_ceil_c, conv_binding = t_cstep, "unavailable"
 
     # conv IWAE eval chunk at Precision.HIGH (the production fallback
     # path): S=25 samples x B=512 through decoder+BCE. HIGH is bf16_3x —
@@ -380,10 +421,14 @@ def main():
         "train_rng": RNG or "threefry",
         "bf16_matmul_steps_per_sec_h400": round(bf16[400], 1),
         "bf16_matmul_steps_per_sec_h1024": round(bf16[1024], 1),
+        "step_model_hlo_cost": mlp_cost,
         "conv_u6_steps_per_sec": round(conv_sps, 1),
         "conv_step_ceiling_steps_per_sec": round(1 / t_ceil_c, 1),
         "conv_pct_of_step_ceiling": round(100 * t_ceil_c / t_cstep, 1),
         "conv_step_binding_resource": conv_binding,
+        "conv_step_model": (
+            {"macs": conv_macs}
+            if conv_macs else None),
         "conv_iwae_high_ms_per_chunk_s25_b512": round(conv_eval_ms, 2),
     }))
 

@@ -530,16 +530,22 @@ def _twin_stereo(x, y, resident=False):
 
 
 # Reparam synthetic-twin op volume, from a static vreg count of
-# _make_reparam_kernel's sign=-1 body (the measured 'd' config; derivation
-# table in RESULTS_r3.md): ~21 serial full-width (n, 8, L) passes
-# (products/Gram sums/mobius combinations — 24 vregs per op at n=6,
-# L=512, internally 24-way parallel), then a (8, L) scalar tail shaped as
-# a shared prefix (exp_0 factor + mobius coefficients + preimage radius)
-# feeding TWO independent chains (the log q and log p density tails),
-# with the kernel's transcendental mix distributed where it occurs.
-_TWIN_FULL_OPS = 21
-_TWIN_PREFIX_OPS = 50
-_TWIN_CHAIN_OPS = 50
+# _make_reparam_kernel's sign=-1 body (the measured 'd' config; round-3
+# derivation method in RESULTS_r3.md §4b, re-counted for the ROUND-4
+# body: the drawn-radius density rewrite removed the mobius-inverse
+# round trip — ~7 full-width passes and the old preimage chain — and
+# the sign<0 log q is now a direct function of the Gram sums). Current
+# body: ~9 serial full-width (n, 8, L) passes (v, three Gram sums, the
+# 3-pass z assembly, zn2, ball rescale), a ~45-op (8, L) serial prefix
+# (exp_0 tandiv chain + ball clamp + mobius coefficients), and two
+# independent density chains (log q ~30 ops, log p ~55). The twin uses
+# DELIBERATELY-LOW counts (9 / 40 / 40) so its measured time is a floor
+# the real kernel cannot beat except by timing noise — undercounting
+# keeps the ceiling semantics; overcounting is what let the round-3
+# twin (21/50/50, pre-rewrite body) drift to 122% reached.
+_TWIN_FULL_OPS = 9
+_TWIN_PREFIX_OPS = 40
+_TWIN_CHAIN_OPS = 40
 _TWIN_TRANSC_EVERY = 12   # ~4 transcendental tile-ops per density chain
 
 

@@ -38,7 +38,9 @@ DT = torch.float64
 def t(a):
     if torch.is_tensor(a):
         return a.to(DT)
-    return torch.as_tensor(np.asarray(a), dtype=DT)
+    # np.asarray of a jax Array is read-only; copy so torch owns
+    # writable memory (silences the non-writable-tensor warning)
+    return torch.as_tensor(np.array(a), dtype=DT)
 
 
 # --- networks (reference FeedForwardVAE: ReLU MLP) ----------------------------

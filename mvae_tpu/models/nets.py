@@ -59,12 +59,21 @@ def _conv_init(key, h, w, cin, cout, dtype):
     }
 
 
+def _conv_pet(x):
+    """preferred_element_type for the convs: f32 accumulation made
+    explicit on the f32 path; None for bf16 operands — the TPU MXU
+    accumulates in f32 internally either way, and conv_transpose's VJP
+    rejects the mixed (f32 cotangent, bf16 kernel) pair an explicit f32
+    output dtype produces (found by the bf16 conv train probe)."""
+    return jnp.float32 if x.dtype == jnp.float32 else None
+
+
 def _conv(params, x, stride: int):
     """NHWC conv, SAME padding — the TPU-native layout."""
     out = jax.lax.conv_general_dilated(
         x, params["w"], window_strides=(stride, stride), padding="SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=_conv_pet(x))
     return out.astype(x.dtype) + params["b"]
 
 
@@ -72,7 +81,7 @@ def _conv_transpose(params, x, stride: int):
     out = jax.lax.conv_transpose(
         x, params["w"], strides=(stride, stride), padding="SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=_conv_pet(x))
     return out.astype(x.dtype) + params["b"]
 
 

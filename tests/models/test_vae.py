@@ -170,6 +170,21 @@ class TestBf16:
         for leaf in jax.tree.leaves(g):
             assert np.all(np.isfinite(np.asarray(leaf, np.float32)))
 
+    def test_bf16_conv_grads_finite(self):
+        """--dtype bfloat16 with arch=conv: conv_transpose's VJP rejects
+        the (f32 cotangent, bf16 kernel) pair an explicit f32
+        preferred_element_type produces — regression for the round-4 fix
+        in nets._conv_pet (the forward worked; only grads broke)."""
+        cfg = VAEConfig(components=parse_components("u2"),
+                        data_shape=(8, 8, 3), arch="conv", h_dim=16)
+        params = init_params(jax.random.key(0), cfg, dtype=jnp.bfloat16)
+        x = (jax.random.uniform(jax.random.key(1), (4, 8, 8, 3))
+             > 0.5).astype(jnp.bfloat16)
+        g = jax.grad(lambda p: loss_fn(jax.random.key(2), cfg, p, x)[0])(
+            params)
+        for leaf in jax.tree.leaves(g):
+            assert np.all(np.isfinite(np.asarray(leaf, np.float32)))
+
 
 class TestTraining:
     def test_loss_decreases_smoke(self):

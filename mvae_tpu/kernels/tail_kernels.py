@@ -46,6 +46,18 @@ to the jnp path if any component is unsupported):
                         I_{1/2}(x) = sqrt(2/(pi x)) sinh x,
                         A_3(kappa) = coth kappa - 1/kappa — equal to the
                         library's series ``log_ive`` path to ~1e-6.
+  'vmf' on s (any dim)  OPT-IN (MVAE_FUSED_TAIL=1 explicitly; measured
+                        net-negative vs the jnp tail on-chip, RESULTS_r4
+                        §8): the Wood-rejection cosine w is drawn OUTSIDE
+                        the kernel (``_sample_w`` — same keys, same kappa
+                        expression as the jnp path, so draws are
+                        bit-identical, and its implicit-reparameterization
+                        kappa-JVP is preserved) and enters through a
+                        DIFFERENTIABLE ``wx`` operand; the rest of the
+                        chain (mu head, direction normalize, Householder,
+                        log C_m via the in-kernel Bessel series
+                        ``_log_ive_rows``, analytic KL via the Bessel
+                        ratio) fuses in-tile.
 
 Reference: the tail is the ELBO estimator composition of
 ``mt/mvae/models/vae.py`` + ``mt/mvae/sampling/`` in oskopek/mvae
@@ -83,40 +95,105 @@ def use_fused_tail() -> bool:
 
 
 def component_supported(comp) -> bool:
-    """Static (component -> kernel coverage) predicate."""
+    """Static (component -> kernel CAPABILITY) predicate. Whether the
+    fused tail is the better ROUTE for a given product is a separate,
+    measured question — see ``product_fused_default``."""
     if comp.posterior == "normal":
         return comp.dim <= 32
     if comp.posterior == "wrapped":
         return comp.manifold.kind in ("h", "d", "p", "u") and comp.dim <= 32
     if comp.posterior == "vmf":
-        # m = 3 has the loop-free exact inverse-CDF sampler; larger m uses
-        # the oversampled Wood rejection path (gather-based), jnp only
-        return comp.manifold.kind == "s" and comp.dim == 2
+        # dim 2 (m = 3): the loop-free exact inverse-CDF cosine in-tile;
+        # other dims: the Wood cosine rides in through the wx operand.
+        # 'p'-kind vMF needs the stereographic isometry push-through —
+        # jnp path always.
+        return comp.manifold.kind == "s" and comp.dim <= 32
     return False
+
+
+def product_fused_default(comps) -> bool:
+    """Auto-routing policy: is the fused tail measured FASTER than the jnp
+    tail for this product on the real chip? (RESULTS_r4 §8 table; B=1024,
+    h_dim=400 probe — ratios were stable across the family.)
+
+    * vMF at m != 3 present (wx channel): NO — 0.84x (s6) / 0.98x
+      (s4,h2,e2). The external Wood sampler serializes between the head
+      GEMM and the kernel, while XLA fuses it into the surrounding tail
+      math on the jnp path.
+    * >= 2 components: YES — 1.11x (h2,s2,e2), 1.12x (3s2), 1.17x (2h2):
+      the per-component fusion swarm is what the kernel amortizes.
+    * lone wrapped component on u/p: YES — 1.19x (u6), 1.20x (p6): the
+      sign-agnostic / wrap-image branch-sum chains are fusion-heavy even
+      alone.
+    * lone e/h/d/s component: NO — 0.82x (e6), 0.96x (h6), 0.96x (d6):
+      XLA already handles one cheap chain well; two kernel launches plus
+      in-VMEM transposes cost more than they save.
+
+    ``MVAE_FUSED_TAIL=1`` overrides this policy (everything capable runs
+    fused — the CPU-interpret test mode); ``=0`` disables the kernel.
+    """
+    if wx_rows(comps):
+        return False
+    if len(comps) >= 2:
+        return True
+    c = comps[0]
+    return (c.posterior == "wrapped" and c.manifold.curvature_sign >= 0
+            and c.manifold.kind != "e")
 
 
 def noise_rows(comp) -> int:
     """Rows of pre-drawn standard noise the tile consumes per example."""
-    return comp.dim + (1 if comp.posterior == "vmf" else 0)
+    return comp.dim + (1 if comp.posterior == "vmf" and comp.dim == 2
+                       else 0)
+
+
+def wx_rows(comps) -> int:
+    """Externally-sampled Wood-cosine rows (vMF components at m != 3)."""
+    return sum(1 for c in comps
+               if c.posterior == "vmf" and c.dim != 2)
 
 
 def draw_noise_t(key, comps, batch: int, dtype):
     """(E, B) standard noise mirroring the jnp path's key discipline
     EXACTLY (split per component; vMF splits again into (w, direction)),
-    so fused-vs-jnp paths are draw-for-draw comparable."""
+    so fused-vs-jnp paths are draw-for-draw comparable. vMF components at
+    m != 3 consume their w-key in ``draw_wx`` instead (same split tree)."""
     keys = jax.random.split(key, len(comps))
     rows = []
     for comp, ck in zip(comps, keys):
         if comp.posterior == "vmf":
             k_w, k_dir = jax.random.split(ck)
-            u = jax.random.uniform(k_w, (batch,), dtype=dtype, minval=1e-7)
+            if comp.dim == 2:
+                u = jax.random.uniform(k_w, (batch,), dtype=dtype,
+                                       minval=1e-7)
+                rows.append(u[None, :])
             g = jax.random.normal(k_dir, (batch, comp.dim), dtype=dtype)
-            rows.append(u[None, :])
             rows.append(g.T)
         else:
             eps = jax.random.normal(ck, (batch, comp.dim), dtype=dtype)
             rows.append(eps.T)
     return jnp.concatenate(rows, axis=0)
+
+
+def draw_wx(key, comps, raw_all):
+    """(B, max(wx_rows, 1)) externally-sampled Wood cosines for the vMF
+    m != 3 components — DIFFERENTIABLE in raw_all: kappa is the same
+    softplus + 1 head expression the jnp path uses (bit-equal), and
+    ``_sample_w``'s custom JVP carries the implicit d(w)/d(kappa) term, so
+    the kernel's wx cotangent chains back into the head GEMM. Keys follow
+    ``draw_noise_t``'s split tree (k_w of the per-component split)."""
+    from ..distributions import von_mises_fisher
+    keys = jax.random.split(key, len(comps))
+    cols, off = [], 0
+    for comp, ck in zip(comps, keys):
+        if comp.posterior == "vmf" and comp.dim != 2:
+            k_w, _ = jax.random.split(ck)
+            kappa = jax.nn.softplus(raw_all[..., off + comp.dim]) + 1.0
+            cols.append(von_mises_fisher._sample_w(k_w, comp.dim + 1,
+                                                   kappa))
+        off += comp.head_width
+    assert cols, "draw_wx called on a product with no vMF m != 3 component"
+    return jnp.stack(cols, axis=-1)
 
 
 # --- Mosaic-safe series helpers not already in manifold_kernels --------------
@@ -142,6 +219,42 @@ def _cos_u_sgn(u, sign):
 
 def _acosh_1p(u):
     return jnp.log1p(u + jnp.sqrt(jnp.maximum(u, 0.0) * (u + 2.0)))
+
+
+_IVE_SWITCH = 40.0
+_IVE_TERMS = 64
+
+
+def _log_ive_rows(nu: float, x):
+    """log(I_nu(x) e^{-x}) for x > 0 rows, nu a STATIC Python float —
+    the Mosaic-safe twin of ``utils.special.log_ive`` (same series/Hankel
+    split at x = 40, agrees to ~1e-6 rel): the ascending series runs in
+    LINEAR space via the term-ratio recurrence t_{j+1}/t_j =
+    (x^2/4)/((j+1)(nu+j+1)) — every intermediate stays under ~1.5e16 for
+    x < 40, comfortably inside f32 — instead of special.log_ive's
+    logsumexp over a trailing 64-term axis (a 3-D intermediate the TPU
+    kernel layout should not carry). Both branches evaluate on sanitized
+    arguments (the where-trick) so AD never sees NaN."""
+    xs = jnp.minimum(x, _IVE_SWITCH)              # series branch arg
+    q = 0.25 * xs * xs
+    term = jnp.ones_like(xs)
+    acc = jnp.ones_like(xs)
+    for j in range(1, _IVE_TERMS):
+        term = term * (q / (j * (nu + j)))
+        acc = acc + term
+    log_series = (nu * jnp.log(jnp.maximum(xs, 1e-30) / 2.0)
+                  - math.lgamma(nu + 1.0) + jnp.log(acc) - xs)
+    xb = jnp.maximum(x, _IVE_SWITCH)              # Hankel branch arg
+    mu4 = 4.0 * nu * nu
+    inv8x = 1.0 / (8.0 * xb)
+    s = jnp.ones_like(xb)
+    a = jnp.ones_like(xb)
+    for kk in range(1, 7):
+        a = -a * (mu4 - (2.0 * kk - 1.0) ** 2) * inv8x / kk
+        s = s + a
+    log_asym = (-0.5 * jnp.log(2.0 * jnp.pi * xb)
+                + jnp.log(jnp.maximum(s, 1e-12)))
+    return jnp.where(x < _IVE_SWITCH, log_series, log_asym)
 
 
 # --- per-family tile chains (all arrays (rows, B); scalars (1, B)) -----------
@@ -222,19 +335,26 @@ def _tile_wrapped_lorentz(comp, raw, eps, k):
     return z, lq - lp, lq, lp
 
 
-def _tile_vmf_s2(comp, raw, eps, k):
-    """vMF(mu, kappa) on S^2 (m = 3): exact inverse-CDF cosine + Householder
-    (distributions/von_mises_fisher.py semantics), log C_3 and A_3 via the
-    half-integer Bessel closed forms. kappa >= 1 by the softplus+1 head, so
-    every expression here is well-conditioned."""
+def _tile_vmf(comp, raw, eps, k, w_in=None):
+    """vMF(mu, kappa) on S^n (m = n + 1), any n: Householder sampling +
+    log-density + analytic KL (distributions/von_mises_fisher.py
+    semantics). kappa >= 1 by the softplus+1 head, so every expression
+    here is well-conditioned. The cosine w comes from the exact in-tile
+    inverse CDF at m = 3 (the marginal is exponential in w there) and
+    from the ``w_in`` operand — the externally-drawn Wood cosine with its
+    implicit kappa-JVP attached outside — for every other m. log C_m / A_m
+    use the half-integer closed forms at m = 3 and ``_log_ive_rows``
+    otherwise."""
+    n = comp.dim
+    m = n + 1
     dt = raw.dtype
     tin = stable.tiny(dt)
     e = stable.eps(dt)
     kk = jnp.maximum(k, tin)
     sqrt_k = jnp.sqrt(kk)
     r = 1.0 / sqrt_k
-    mu_tan = raw[:2]
-    kap = jax.nn.softplus(raw[2:3]) + 1.0
+    mu_tan = raw[:n]
+    kap = jax.nn.softplus(raw[n:n + 1]) + 1.0
 
     # mu = exp_map_mu0 on the sphere; project() renormalizes to radius R
     r2m = jnp.sum(mu_tan * mu_tan, axis=0, keepdims=True)
@@ -247,12 +367,17 @@ def _tile_vmf_s2(comp, raw, eps, k):
     mu_u_t = m_t * scale * sqrt_k        # unit-sphere coords
     mu_u_sp = m_sp * scale * sqrt_k
 
-    # cosine via the exact inverse CDF (stable expm1/log1p form)
-    u_eps = eps[0:1]
-    kap_s = jnp.maximum(kap, 1e-6)
-    w = 1.0 + jnp.log1p((1.0 - u_eps) * (jnp.exp(-2.0 * kap_s) - 1.0)) / kap_s
-    w = jnp.clip(w, -1.0 + 1e-7, 1.0 - 1e-7)
-    g = eps[1:3]
+    if m == 3:
+        # cosine via the exact inverse CDF (stable expm1/log1p form)
+        u_eps = eps[0:1]
+        kap_s = jnp.maximum(kap, 1e-6)
+        w = 1.0 + jnp.log1p((1.0 - u_eps)
+                            * (jnp.exp(-2.0 * kap_s) - 1.0)) / kap_s
+        w = jnp.clip(w, -1.0 + 1e-7, 1.0 - 1e-7)
+        g = eps[1:3]
+    else:
+        w = w_in
+        g = eps[:n]
     vdir = g / jnp.sqrt(jnp.sum(g * g, axis=0, keepdims=True) + tin)
     sin_w = jnp.sqrt(jnp.maximum(1.0 - w * w, tin))
     zp_sp = sin_w * vdir                 # frame-aligned sample (w, zp_sp)
@@ -273,17 +398,27 @@ def _tile_vmf_s2(comp, raw, eps, k):
     zu_sp = jnp.where(deg, zp_sp, zu_sp)
     z = jnp.concatenate([zu_t * r, zu_sp * r], axis=0)
 
-    # log C_3(kappa) with log I_{1/2}e^{-x} = 0.5 log(2/(pi x))
-    #                                         + log1p(-e^{-2x}) - log 2
-    log_ive_half = (0.5 * jnp.log(2.0 / (jnp.pi * kap))
-                    + jnp.log1p(-jnp.exp(-2.0 * kap)) - math.log(2.0))
-    log_c3 = 0.5 * jnp.log(kap) - 1.5 * _LOG_2PI - (log_ive_half + kap)
+    if m == 3:
+        # log C_3(kappa) with log I_{1/2}e^{-x} = 0.5 log(2/(pi x))
+        #                                         + log1p(-e^{-2x}) - log 2
+        log_ive_nu = (0.5 * jnp.log(2.0 / (jnp.pi * kap))
+                      + jnp.log1p(-jnp.exp(-2.0 * kap)) - math.log(2.0))
+        a_m = 1.0 / jnp.tanh(kap) - 1.0 / kap
+        log_unit_area = _LOG_4PI
+    else:
+        nu = m / 2.0 - 1.0
+        log_ive_nu = _log_ive_rows(nu, kap)
+        a_m = jnp.exp(_log_ive_rows(nu + 1.0, kap) - log_ive_nu)
+        log_unit_area = (math.log(2.0) + (m / 2.0) * math.log(math.pi)
+                         - math.lgamma(m / 2.0))
+    log_cm = ((m / 2.0 - 1.0) * jnp.log(kap) - (m / 2.0) * _LOG_2PI
+              - (log_ive_nu + kap))
     cos = mu_u_t * zu_t + jnp.sum(mu_u_sp * zu_sp, axis=0, keepdims=True)
-    lq = log_c3 + kap * cos + jnp.log(kk)      # + (m-1)/2 log k area term
-    lp = jnp.broadcast_to(-_LOG_4PI + jnp.log(kk), lq.shape)
-    # analytic KL: kappa A_3(kappa) + log C_3 + log Area(unit S^2)
-    a3 = 1.0 / jnp.tanh(kap) - 1.0 / kap
-    kl = kap * a3 + log_c3 + _LOG_4PI
+    area = (m - 1) / 2.0 * jnp.log(kk)   # -(m-1) log R density area term
+    lq = log_cm + kap * cos + area
+    lp = jnp.broadcast_to(-log_unit_area + area, lq.shape)
+    # analytic KL: kappa A_m(kappa) + log C_m + log Area(unit S^{m-1})
+    kl = kap * a_m + log_cm + log_unit_area
     return z, kl, lq, lp
 
 
@@ -455,13 +590,14 @@ def _tile_wrapped_stereo(comp, raw, eps, k):
 # --- whole-product tile + pallas_call plumbing -------------------------------
 
 
-def _tail_tile(comps, raw_t, eps_t, kx):
-    """(W, B) raw rows + (E, B) noise rows + (nc, B) curvature rows ->
-    (z (Z, B), aux (nc+2, B) = [kl rows; log_q; log_p])."""
+def _tail_tile(comps, raw_t, eps_t, kx, wx_t=None):
+    """(W, B) raw rows + (E, B) noise rows + (nc, B) curvature rows
+    [+ (WX, B) external Wood-cosine rows when the product has vMF m != 3
+    components] -> (z (Z, B), aux (nc+2, B) = [kl rows; log_q; log_p])."""
     zs, kls = [], []
     lq = 0.0
     lp = 0.0
-    ro = eo = 0
+    ro = eo = wo = 0
     for i, comp in enumerate(comps):
         raw = raw_t[ro:ro + comp.head_width]
         ro += comp.head_width
@@ -471,7 +607,11 @@ def _tail_tile(comps, raw_t, eps_t, kx):
         if comp.posterior == "normal":
             z, kl, q, p = _tile_normal(comp, raw, epsc)
         elif comp.posterior == "vmf":
-            z, kl, q, p = _tile_vmf_s2(comp, raw, epsc, kc)
+            w_in = None
+            if comp.dim != 2:
+                w_in = wx_t[wo:wo + 1]
+                wo += 1
+            z, kl, q, p = _tile_vmf(comp, raw, epsc, kc, w_in)
         elif comp.manifold.kind == "h":
             z, kl, q, p = _tile_wrapped_lorentz(comp, raw, epsc, kc)
         else:
@@ -485,9 +625,10 @@ def _tail_tile(comps, raw_t, eps_t, kx):
     return z, aux
 
 
-def _tile_io(comps, raw_bt, eps_bt, kx_bt):
+def _tile_io(comps, raw_bt, eps_bt, kx_bt, wx_bt=None):
     """Natural-orientation wrapper: transposes happen ONCE in VMEM."""
-    z, aux = _tail_tile(comps, raw_bt.T, eps_bt.T, kx_bt.T)
+    wx_t = None if wx_bt is None else wx_bt.T
+    z, aux = _tail_tile(comps, raw_bt.T, eps_bt.T, kx_bt.T, wx_t)
     return z.T, aux.T
 
 
@@ -511,47 +652,47 @@ def _specs(shapes, block):
                          memory_space=pltpu.VMEM) for w in shapes]
 
 
-def _fwd_pallas(comps, raw_bt, eps_bt, kx_bt):
+def _fwd_pallas(comps, raw_bt, eps_bt, kx_bt, wx_bt=None):
     B = raw_bt.shape[0]
     W, E, Z = _dims(comps)
     nc = len(comps)
     block = min(_BLK, -(-B // 128) * 128)
     bp = -(-B // block) * block
     # pads: raw 0 (softplus(0) scale — finite chain), noise 0.5 (valid for
-    # both the normal rows and the vMF uniform row), curvature edge value
-    # (keeps padded lanes on the same trace-time-live branch)
+    # both the normal rows and the vMF uniform row), wx 0 (a valid cosine),
+    # curvature edge value (keeps padded lanes on the same
+    # trace-time-live branch)
     raw_p = _pad_cols(raw_bt, bp)
     eps_p = _pad_cols(eps_bt, bp, 0.5)
     kx_p = kx_bt if bp == B else jnp.concatenate(
         [kx_bt, jnp.broadcast_to(kx_bt[-1:], (bp - B, nc))], axis=0)
+    ops = [raw_p, eps_p, kx_p]
+    widths = [W, E, nc]
+    if wx_bt is not None:
+        ops.append(_pad_cols(wx_bt, bp))
+        widths.append(wx_bt.shape[1])
 
-    def fwd_kernel(raw_ref, eps_ref, kx_ref, z_ref, aux_ref):
-        z, aux = _tile_io(comps, raw_ref[:], eps_ref[:], kx_ref[:])
+    def fwd_kernel(raw_ref, eps_ref, kx_ref, *rest):
+        wx_refs, (z_ref, aux_ref) = rest[:-2], rest[-2:]
+        wx = wx_refs[0][:] if wx_refs else None
+        z, aux = _tile_io(comps, raw_ref[:], eps_ref[:], kx_ref[:], wx)
         z_ref[:] = z
         aux_ref[:] = aux
 
     z, aux = pl.pallas_call(
         fwd_kernel,
         grid=(bp // block,),
-        in_specs=_specs((W, E, nc), block),
+        in_specs=_specs(tuple(widths), block),
         out_specs=tuple(_specs((Z, nc + 2), block)),
         out_shape=(jax.ShapeDtypeStruct((bp, Z), raw_bt.dtype),
                    jax.ShapeDtypeStruct((bp, nc + 2), raw_bt.dtype)),
         interpret=_interpret(),
-    )(raw_p, eps_p, kx_p)
+    )(*ops)
     return z[:B], aux[:B]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _tail_call(comps, raw_bt, eps_bt, kx_bt):
-    return _fwd_pallas(comps, raw_bt, eps_bt, kx_bt)
-
-
-def _tail_call_fwd(comps, raw_bt, eps_bt, kx_bt):
-    return _fwd_pallas(comps, raw_bt, eps_bt, kx_bt), (raw_bt, eps_bt, kx_bt)
-
-
-def _tail_call_bwd(comps, res, cts):
+def _bwd_pallas(comps, res, cts, wx_bt=None):
+    """Shared backward: in-kernel jax.vjp over (raw, kx[, wx])."""
     raw_bt, eps_bt, kx_bt = res
     dz, daux = cts
     B = raw_bt.shape[0]
@@ -565,32 +706,82 @@ def _tail_call_bwd(comps, res, cts):
         [kx_bt, jnp.broadcast_to(kx_bt[-1:], (bp - B, nc))], axis=0)
     dz_p = _pad_cols(dz, bp)       # zero cotangents on padded lanes
     daux_p = _pad_cols(daux, bp)
+    has_wx = wx_bt is not None
+    in_ops = [raw_p, eps_p, kx_p]
+    in_widths = [W, E, nc]
+    out_widths = [W, nc]
+    if has_wx:
+        in_ops.append(_pad_cols(wx_bt, bp))
+        in_widths.append(wx_bt.shape[1])
+        out_widths.append(wx_bt.shape[1])
+    in_ops += [dz_p, daux_p]
+    in_widths += [Z, nc + 2]
 
-    def bwd_kernel(raw_ref, eps_ref, kx_ref, dz_ref, daux_ref,
-                   draw_ref, dkx_ref):
+    def bwd_kernel(raw_ref, eps_ref, kx_ref, *rest):
+        nout = 3 if has_wx else 2
+        if has_wx:
+            wx_ref, dz_ref, daux_ref = rest[:3]
+        else:
+            dz_ref, daux_ref = rest[:2]
+        out_refs = rest[-nout:]
         eps = eps_ref[:]
 
-        def f(raw, kxv):
-            return _tile_io(comps, raw, eps, kxv)
+        if has_wx:
+            def f(raw, kxv, wxv):
+                return _tile_io(comps, raw, eps, kxv, wxv)
+            _, vjp = jax.vjp(f, raw_ref[:], kx_ref[:], wx_ref[:])
+        else:
+            def f(raw, kxv):
+                return _tile_io(comps, raw, eps, kxv)
+            _, vjp = jax.vjp(f, raw_ref[:], kx_ref[:])
+        for ref, ct in zip(out_refs, vjp((dz_ref[:], daux_ref[:]))):
+            ref[:] = ct
 
-        _, vjp = jax.vjp(f, raw_ref[:], kx_ref[:])
-        draw, dkx = vjp((dz_ref[:], daux_ref[:]))
-        draw_ref[:] = draw
-        dkx_ref[:] = dkx
-
-    draw, dkx = pl.pallas_call(
+    outs = pl.pallas_call(
         bwd_kernel,
         grid=(bp // block,),
-        in_specs=_specs((W, E, nc, Z, nc + 2), block),
-        out_specs=tuple(_specs((W, nc), block)),
-        out_shape=(jax.ShapeDtypeStruct((bp, W), raw_bt.dtype),
-                   jax.ShapeDtypeStruct((bp, nc), raw_bt.dtype)),
+        in_specs=_specs(tuple(in_widths), block),
+        out_specs=tuple(_specs(tuple(out_widths), block)),
+        out_shape=tuple(jax.ShapeDtypeStruct((bp, w), raw_bt.dtype)
+                        for w in out_widths),
         interpret=_interpret(),
-    )(raw_p, eps_p, kx_p, dz_p, daux_p)
-    return draw[:B], jnp.zeros_like(eps_bt), dkx[:B]
+    )(*in_ops)
+    return tuple(o[:B] for o in outs)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _tail_call(comps, raw_bt, eps_bt, kx_bt):
+    return _fwd_pallas(comps, raw_bt, eps_bt, kx_bt)
+
+
+def _tail_call_fwd(comps, raw_bt, eps_bt, kx_bt):
+    return _fwd_pallas(comps, raw_bt, eps_bt, kx_bt), (raw_bt, eps_bt, kx_bt)
+
+
+def _tail_call_bwd(comps, res, cts):
+    draw, dkx = _bwd_pallas(comps, res, cts)
+    return draw, jnp.zeros_like(res[1]), dkx
 
 
 _tail_call.defvjp(_tail_call_fwd, _tail_call_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _tail_call_wx(comps, raw_bt, eps_bt, kx_bt, wx_bt):
+    return _fwd_pallas(comps, raw_bt, eps_bt, kx_bt, wx_bt)
+
+
+def _tail_call_wx_fwd(comps, raw_bt, eps_bt, kx_bt, wx_bt):
+    return (_fwd_pallas(comps, raw_bt, eps_bt, kx_bt, wx_bt),
+            (raw_bt, eps_bt, kx_bt, wx_bt))
+
+
+def _tail_call_wx_bwd(comps, res, cts):
+    draw, dkx, dwx = _bwd_pallas(comps, res[:3], cts, wx_bt=res[3])
+    return draw, jnp.zeros_like(res[1]), dkx, dwx
+
+
+_tail_call_wx.defvjp(_tail_call_wx_fwd, _tail_call_wx_bwd)
 
 
 def reparam_all(key, comps, comp_params, raw_all):
@@ -608,7 +799,11 @@ def reparam_all(key, comps, comp_params, raw_all):
                       for comp, cp in zip(comps, comp_params)]).astype(dt)
     kx_bt = jnp.broadcast_to(kvec[None, :], (B, len(comps)))
     eps_bt = draw_noise_t(key, comps, B, dt).T
-    z, aux = _tail_call(comps, raw_all, eps_bt, kx_bt)
+    if wx_rows(comps):
+        wx_bt = draw_wx(key, comps, raw_all)
+        z, aux = _tail_call_wx(comps, raw_all, eps_bt, kx_bt, wx_bt)
+    else:
+        z, aux = _tail_call(comps, raw_all, eps_bt, kx_bt)
     nc = len(comps)
     return (z, aux[:, nc], aux[:, nc + 1], aux[:, :nc], kvec)
 
@@ -623,6 +818,7 @@ def reparam_all_jnp(key, comps, comp_params, raw_all):
                       for comp, cp in zip(comps, comp_params)]).astype(dt)
     kx = jnp.broadcast_to(kvec[:, None], (len(comps), B))
     eps_t = draw_noise_t(key, comps, B, dt)
-    z, aux = _tail_tile(comps, raw_all.T, eps_t, kx)
+    wx_t = draw_wx(key, comps, raw_all).T if wx_rows(comps) else None
+    z, aux = _tail_tile(comps, raw_all.T, eps_t, kx, wx_t)
     nc = len(comps)
     return (z.T, aux[nc], aux[nc + 1], aux[:nc].T, kvec)

@@ -150,14 +150,23 @@ def _fused_head_raw(cfg: VAEConfig, params, feats):
 def _fused_tail_eligible(cfg: VAEConfig, params) -> bool:
     """The fused Pallas tail kernel (kernels/tail_kernels.py) covers the
     WHOLE product latent in f32 when every component's (posterior, kind,
-    dim) is in its supported set; any other product takes the jnp path."""
+    dim) is in its supported set; any other product takes the jnp path.
+    Under the default (auto) env the measured routing policy
+    ``product_fused_default`` additionally keeps products where the jnp
+    tail is faster on the jnp path; MVAE_FUSED_TAIL=1 forces every
+    capable product fused."""
+    import os
     from ..kernels import tail_kernels
     if not tail_kernels.use_fused_tail():
         return False
     for cp in params["components"]:
         if cp["w_mu"].dtype != jnp.float32:
             return False
-    return all(tail_kernels.component_supported(c) for c in cfg.components)
+    if not all(tail_kernels.component_supported(c) for c in cfg.components):
+        return False
+    if os.environ.get("MVAE_FUSED_TAIL") == "1":
+        return True
+    return tail_kernels.product_fused_default(cfg.components)
 
 
 def _reparam_components(key, cfg: VAEConfig, params, feats,
@@ -523,6 +532,7 @@ def fused_path_report(cfg: VAEConfig, params, mesh=None) -> dict:
         return {"active": bool(active), "why": why}
 
     # --- train/eval-ELBO tail (one fwd + one bwd kernel for the product) ----
+    import os as _os
     if not tail_kernels.use_fused_tail():
         tail = entry(False, "MVAE_FUSED_TAIL off (env/backend)")
     elif any(cp["w_mu"].dtype != jnp.float32
@@ -534,6 +544,11 @@ def fused_path_report(cfg: VAEConfig, params, mesh=None) -> dict:
         if unsup:
             tail = entry(False, "unsupported component(s): "
                          + ",".join(unsup) + " -> jnp tail")
+        elif (_os.environ.get("MVAE_FUSED_TAIL") != "1"
+              and not tail_kernels.product_fused_default(cfg.components)):
+            tail = entry(False, "kernel-capable but jnp tail measured "
+                         "faster for this product (auto routing; "
+                         "MVAE_FUSED_TAIL=1 forces fused)")
         else:
             tail = entry(True, "all components in kernel family")
     if mesh is not None and tail["active"]:

@@ -16,7 +16,8 @@ from mvae_tpu.models import vae
 F32 = jnp.float32
 B, F = 160, 24
 
-SPECS = ["h2,s2,e2", "e6", "h6", "d6", "p6", "u6", "d2,p2,u2"]
+SPECS = ["h2,s2,e2", "e6", "h6", "d6", "p6", "u6", "d2,p2,u2",
+         "s6", "s4,s2", "s3,h2,e2"]
 
 
 def build(spec, fixed=False, scalar_sigma=False, wraps=1, seed=0):
@@ -66,7 +67,7 @@ class TestTailKernel:
         np.testing.assert_allclose(np.asarray(kl), np.asarray(kl_r),
                                    rtol=2e-4, atol=5e-4)
 
-    @pytest.mark.parametrize("spec", ["h2,s2,e2", "u6", "d3,s2"])
+    @pytest.mark.parametrize("spec", ["h2,s2,e2", "u6", "d3,s2", "s6"])
     def test_grads_match_jnp_path(self, monkeypatch, spec):
         """d(loss)/d(raw heads) and d(loss)/d(curvature): the in-kernel
         jax.vjp backward against (a) plain AD of the SAME tile math outside
@@ -211,12 +212,57 @@ class TestTailKernel:
         cfg = VAEConfig(components=ok, data_shape=(16,), h_dim=8)
         params = init_params(jax.random.key(0), cfg)
         assert vae._fused_tail_eligible(cfg, params)
-        # riemannian posterior and vmf at m != 3 are jnp-only
+        # vmf at m != 3 rides the external-Wood-cosine (wx) channel
+        s4 = parse_components("s4")
+        cfg_s4 = VAEConfig(components=s4, data_shape=(16,), h_dim=8)
+        params_s4 = init_params(jax.random.key(0), cfg_s4)
+        assert vae._fused_tail_eligible(cfg_s4, params_s4)
+        # riemannian posterior and projected-sphere vmf are jnp-only
         rn = parse_components("h2:riemannian")
         cfg_rn = VAEConfig(components=rn, data_shape=(16,), h_dim=8)
         params_rn = init_params(jax.random.key(0), cfg_rn)
         assert not vae._fused_tail_eligible(cfg_rn, params_rn)
-        s4 = parse_components("s4")
-        cfg_s4 = VAEConfig(components=s4, data_shape=(16,), h_dim=8)
-        params_s4 = init_params(jax.random.key(0), cfg_s4)
-        assert not vae._fused_tail_eligible(cfg_s4, params_s4)
+        pv = parse_components("p2:vmf")
+        cfg_pv = VAEConfig(components=pv, data_shape=(16,), h_dim=8)
+        params_pv = init_params(jax.random.key(0), cfg_pv)
+        assert not vae._fused_tail_eligible(cfg_pv, params_pv)
+
+    def test_auto_routing_policy(self, monkeypatch):
+        """Measured routing (RESULTS_r4 §8): under auto, kernel-capable
+        products where the jnp tail measured faster stay on the jnp path;
+        MVAE_FUSED_TAIL=1 forces them fused."""
+        from mvae_tpu.models import VAEConfig, init_params
+
+        def eligible(spec):
+            comps = parse_components(spec)
+            cfg = VAEConfig(components=comps, data_shape=(16,), h_dim=8)
+            params = init_params(jax.random.key(0), cfg)
+            return vae._fused_tail_eligible(cfg, params)
+
+        monkeypatch.setenv("MVAE_FUSED_TAIL", "auto")
+        monkeypatch.setattr(tail_kernels.jax, "default_backend",
+                            lambda: "tpu")  # auto gate is backend-aware
+        # fused-wins family
+        for spec in ("h2,s2,e2", "2h2", "3s2", "u6", "p6"):
+            assert eligible(spec), spec
+            assert tail_kernels.product_fused_default(
+                parse_components(spec)), spec
+        # jnp-wins family (capable, auto-routed away)
+        for spec in ("e6", "h6", "d6", "s6", "s4,h2,e2"):
+            assert not eligible(spec), spec
+        # force-fused override
+        monkeypatch.setenv("MVAE_FUSED_TAIL", "1")
+        for spec in ("e6", "h6", "d6", "s6", "s4,h2,e2"):
+            assert eligible(spec), spec
+
+    def test_auto_routing_reason_in_report(self, monkeypatch):
+        from mvae_tpu.models import VAEConfig, init_params
+        monkeypatch.setenv("MVAE_FUSED_TAIL", "auto")
+        monkeypatch.setattr(tail_kernels.jax, "default_backend",
+                            lambda: "tpu")
+        comps = parse_components("s6")
+        cfg = VAEConfig(components=comps, data_shape=(16,), h_dim=8)
+        params = init_params(jax.random.key(0), cfg)
+        rep = vae.fused_path_report(cfg, params)["train_tail"]
+        assert not rep["active"]
+        assert "jnp tail measured faster" in rep["why"]

@@ -39,6 +39,11 @@ to the jnp path if any component is unsupported):
                         ``manifold_kernels._make_reparam_kernel`` (sign-
                         specialized series, wrap-image pairs on K > 0),
                         plus the in-tile mu head.
+  'wrapped' on s        the EMBEDDED-sphere chain (ops/sphere.py chord
+                        forms: norm-pinned PT, renormalizing exp, arcsin
+                        chord distance), sharing the drawn-radius branch
+                        sum and prior wrap sum with the stereographic
+                        tile (``_logq_drawn_rows`` / ``_logp_prior_rows``).
   'vmf' on s (dim 2)    the m = 3 closed forms: exact inverse-CDF cosine
                         (``distributions.von_mises_fisher._sample_w_m3``),
                         Householder to mu, and log C_3 / A_3 via the
@@ -76,9 +81,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..ops import stable
-from .manifold_kernels import (_arctandiv_u_sgn, _interpret, _log_max,
-                               _log_sindiv_u_sgn, _log_sindiv_u_sgn_soft,
-                               _sindiv_u_kernel, _tandiv_u_sgn)
+from .manifold_kernels import (_arctandiv_u_sgn, _atan_poly, _interpret,
+                               _log_max, _log_sindiv_u_sgn,
+                               _log_sindiv_u_sgn_soft, _sindiv_u_kernel,
+                               _tandiv_u_sgn)
 
 _LOG_2PI = 1.8378770664093453
 _LOG_4PI = math.log(4.0 * math.pi)
@@ -101,7 +107,8 @@ def component_supported(comp) -> bool:
     if comp.posterior == "normal":
         return comp.dim <= 32
     if comp.posterior == "wrapped":
-        return comp.manifold.kind in ("h", "d", "p", "u") and comp.dim <= 32
+        return (comp.manifold.kind in ("h", "d", "p", "u", "s")
+                and comp.dim <= 32)
     if comp.posterior == "vmf":
         # dim 2 (m = 3): the loop-free exact inverse-CDF cosine in-tile;
         # other dims: the Wood cosine rides in through the wx operand.
@@ -221,6 +228,20 @@ def _acosh_1p(u):
     return jnp.log1p(u + jnp.sqrt(jnp.maximum(u, 0.0) * (u + 2.0)))
 
 
+def _arcsindiv_u_pos(w):
+    """stable.arcsindiv_u pinned to w >= 0 (sphere chord-distance form),
+    with the asin branch as atan (Mosaic has no asin lowering either):
+    asin(x) = atan(x / sqrt(1 - x^2)), x clamped inside the domain the
+    same way stable.arcsindiv_u clamps."""
+    small, ws, wc = stable._split_series_window(w)
+    series = stable._poly(ws, [1.0 / 6, 3.0 / 40, 15.0 / 336, 105.0 / 3456])
+    e = stable.eps(w.dtype)
+    pos_w = jnp.clip(wc, stable.tiny(w.dtype), 1.0 - e)
+    sw = jnp.sqrt(pos_w)
+    closed = _atan_poly(sw * jax.lax.rsqrt(jnp.maximum(1.0 - pos_w, e))) / sw
+    return jnp.where(small, series, closed)
+
+
 _IVE_SWITCH = 40.0
 _IVE_TERMS = 64
 
@@ -333,6 +354,91 @@ def _tile_wrapped_lorentz(comp, raw, eps, k):
           - (n - 1.0) * _log_sindiv_u_sgn(k * r02, -1))
     z = jnp.concatenate([z_t, z_sp], axis=0)
     return z, lq - lp, lq, lp
+
+
+def _tile_wrapped_sphere(comp, raw, eps, k):
+    """WrappedNormal chain on the EMBEDDED sphere S^n (ops/sphere.py
+    formulas, batch-along-lanes; K > 0 pinned): exp_map_mu0 mu head,
+    sigma saturating at the injectivity radius (components.
+    cap_sigma_positive_k twin), chord-form norm-pinned parallel transport
+    mu0 -> mu, exp at mu with renormalizing projection; log q by the
+    shared drawn-radius branch sum and log p at the chord-form arcsin
+    distance from mu0 (both via the helpers the stereographic tile
+    traces, so every stability-critical expression is shared)."""
+    n = comp.dim
+    dt = raw.dtype
+    tin = stable.tiny(dt)
+    e = stable.eps(dt)
+    kk = jnp.maximum(k, tin)
+    sqrt_k = jnp.sqrt(kk)
+    r_rad = 1.0 / sqrt_k
+    mu_tan = raw[:n]
+    sig = _sig_rows(comp, raw)
+    # saturating cap at the injectivity radius (identical expression to
+    # components.component.cap_sigma_positive_k)
+    capr = jnp.pi * jax.lax.rsqrt(jnp.maximum(k, 1e-12))
+    tc_ = jnp.minimum(sig / capr, 8.0)
+    tc2 = tc_ * tc_
+    sig = capr * tc_ * (1.0 + tc2 * tc2 * tc2) ** (-1.0 / 6.0)
+
+    # mu = exp_map_mu0(mu_tan); project() renormalizes to radius R
+    r2m = jnp.sum(mu_tan * mu_tan, axis=0, keepdims=True)
+    t_m = kk * r2m
+    m_t = _cos_u_sgn(t_m, 1) * r_rad
+    m_sp = _sindiv_u_kernel(t_m) * mu_tan
+    sp2_m = jnp.sum(m_sp * m_sp, axis=0, keepdims=True)
+    mnorm = jnp.sqrt(m_t * m_t + sp2_m + tin)
+    sc = r_rad / mnorm
+    mu_t = m_t * sc
+    mu_sp = m_sp * sc
+    sp2 = sp2_m * sc * sc
+
+    v = sig * eps
+    vsq = jnp.sum(v * v, axis=0, keepdims=True)
+    s2 = jnp.sum(eps * eps, axis=0, keepdims=True)
+    ls = jnp.sum(jnp.log(jnp.maximum(sig, tin)), axis=0, keepdims=True)
+
+    # PT_{mu0->mu}((0, v)): chord-form alpha, norm pinned to |v|
+    # (ops/sphere.parallel_transport)
+    d_t = mu_t - r_rad
+    chord2 = d_t * d_t + sp2
+    alpha = 1.0 - kk * chord2 / 2.0
+    den = jnp.maximum(1.0 + alpha, e)
+    coef = kk * jnp.sum(mu_sp * v, axis=0, keepdims=True) / den
+    w_t = -coef * (r_rad + mu_t)
+    w_sp = v - coef * mu_sp
+    nv = jnp.sqrt(vsq + tin)
+    nw = jnp.sqrt(w_t * w_t + jnp.sum(w_sp * w_sp, axis=0, keepdims=True)
+                  + tin)
+    pin = nv / nw
+    u_t = w_t * pin
+    u_sp = w_sp * pin
+
+    # z = exp_map(mu, u); project() renormalizes
+    usq = u_t * u_t + jnp.sum(u_sp * u_sp, axis=0, keepdims=True)
+    tt = kk * usq
+    cu = _cos_u_sgn(tt, 1)
+    sd = _sindiv_u_kernel(tt)
+    z_t = cu * mu_t + sd * u_t
+    z_sp = cu * mu_sp + sd * u_sp
+    zn = jnp.sqrt(z_t * z_t + jnp.sum(z_sp * z_sp, axis=0, keepdims=True)
+                  + tin)
+    zsc = r_rad / zn
+    z_t = z_t * zsc
+    z_sp = z_sp * zsc
+    z = jnp.concatenate([z_t, z_sp], axis=0)
+
+    logq = _logq_drawn_rows(n, comp.wraps, 1, kk, vsq, s2, ls, dt)
+
+    # log p: r0 = 2R asin(|z - mu0| / 2R) — the chord form of
+    # ops/sphere.distance (exact and stable where acos loses all digits)
+    dz_t = z_t - r_rad
+    chord0 = dz_t * dz_t + jnp.sum(z_sp * z_sp, axis=0, keepdims=True)
+    half = jnp.sqrt(chord0 + tin) / 2.0
+    half = jnp.minimum(half, (1.0 - e) / sqrt_k)
+    r0 = 2.0 * half * _arcsindiv_u_pos(kk * half * half)
+    logp = _logp_prior_rows(n, comp.wraps, 1, kk, r0, dt)
+    return z, logq - logp, logq, logp
 
 
 def _tile_vmf(comp, raw, eps, k, w_in=None):
@@ -491,7 +597,22 @@ def _tile_wrapped_stereo(comp, raw, eps, k):
     if sign <= 0:
         z, zn2 = ball_clamp(z, zn2)
 
-    # log q: drawn-radius branch sum (round-trip-free; r^2*quad == |eps|^2)
+    logq = _logq_drawn_rows(n, wraps, sign, k, vsq, s2, ls, dt)
+
+    # log p: prior WrappedNormal(mu0, 1) at z — the preimage radius is the
+    # direct arctan form from z (no round trip; isotropic sigma = 1)
+    r0 = 2.0 * jnp.sqrt(zn2 + tin) * _arctandiv_u_sgn(k * zn2, sign)
+    logp = _logp_prior_rows(n, wraps, sign, k, r0, dt)
+    return z, logq - logp, logq, logp
+
+
+def _logq_drawn_rows(n, wraps, sign, k, vsq, s2, ls, dt):
+    """Drawn-radius branch-sum log q on (1, B) rows — the in-tile twin of
+    ``distributions.wrapped_normal._sample_log_prob_drawn`` (round-trip-
+    free; r^2 * quad == |eps|^2 exactly). Shared by the stereographic
+    (d/p/u) and embedded-sphere (s) wrapped tiles so both trace the SAME
+    stability-critical expressions."""
+    tin = stable.tiny(dt)
     vsq_g = vsq + tin
     r = jnp.sqrt(vsq_g)
     quad = s2 / vsq_g
@@ -499,92 +620,93 @@ def _tile_wrapped_stereo(comp, raw, eps, k):
 
     if sign < 0:
         # pinned negative curvature never wraps: principal preimage = v
-        logq = (-0.5 * s2 - ls - half_l2pi
+        return (-0.5 * s2 - ls - half_l2pi
                 - (n - 1.0) * _log_sindiv_u_sgn_soft(k * vsq_g, sign))
-    else:
-        kpos = jnp.maximum(k, 1e-20)
-        sqk = jnp.sqrt(kpos)
-        period = (2.0 * jnp.pi / sqk).astype(dt)
-        rp_w = jnp.abs(r - period * jnp.floor(r / period + 0.5))
-        rp = rp_w if sign > 0 else jnp.where(k > 0, rp_w, r)
-        if wraps == 0:
-            u_arg = (kpos * rp * rp if sign > 0
-                     else jnp.where(k > 0, kpos * rp * rp, k * vsq_g))
-            logq = (-0.5 * rp * rp * quad - ls - half_l2pi
-                    - (n - 1.0) * _log_sindiv_u_sgn_soft(u_arg, sign))
+    kpos = jnp.maximum(k, 1e-20)
+    sqk = jnp.sqrt(kpos)
+    period = (2.0 * jnp.pi / sqk).astype(dt)
+    rp_w = jnp.abs(r - period * jnp.floor(r / period + 0.5))
+    rp = rp_w if sign > 0 else jnp.where(k > 0, rp_w, r)
+    if wraps == 0:
+        u_arg = (kpos * rp * rp if sign > 0
+                 else jnp.where(k > 0, kpos * rp * rp, k * vsq_g))
+        return (-0.5 * rp * rp * quad - ls - half_l2pi
+                - (n - 1.0) * _log_sindiv_u_sgn_soft(u_arg, sign))
+    x_red = sqk * rp
+    terms = []
+    for m in range(-(wraps + 3), wraps + 4):
+        rb_raw = rp + m * period
+        if m == 0:
+            live, rb = None, rb_raw
         else:
-            x_red = sqk * rp
-            terms = []
-            for m in range(-(wraps + 3), wraps + 4):
-                rb_raw = rp + m * period
-                if m == 0:
-                    live, rb = None, rb_raw
-                else:
-                    live = (k > 0) & (rb_raw * rb_raw * quad < 1e30)
-                    rb = jnp.where(live, rb_raw, rp)
-                logn = -0.5 * rb * rb * quad - ls - half_l2pi
-                if m == 0:
-                    # removable zero at rp = 0: series-windowed
-                    # log(sin x / x) (the split form below is -inf when
-                    # an f32 draw wraps to rp == 0 exactly — the d2p2e2
-                    # eval NaN; see wrapped_normal.py)
-                    u0 = (kpos * rp * rp if sign > 0
-                          else jnp.where(k > 0, kpos * rp * rp,
-                                         k * vsq_g))
-                    logdet = (n - 1.0) * _log_sindiv_u_sgn_soft(u0, sign)
-                else:
-                    log_sin_b = stable.log_abs_sin_soft(
-                        x_red, taper_x=sqk * jnp.abs(rb))
-                    sph = log_sin_b - jnp.log(
-                        jnp.maximum(sqk * jnp.abs(rb), tin))
-                    if sign > 0:
-                        logdet = (n - 1.0) * sph
-                    else:
-                        logdet = (n - 1.0) * jnp.where(
-                            k > 0, sph,
-                            _log_sindiv_u_sgn_soft(k * vsq_g, sign))
-                t_b = logn - logdet
-                if live is not None:
-                    t_b = jnp.where(live, t_b,
-                                    jnp.full_like(t_b, -1e30))
-                terms.append(t_b)
-            mx = terms[0]
-            for t_b in terms[1:]:
-                mx = jnp.maximum(mx, t_b)
-            acc = jnp.zeros_like(mx)
-            for t_b in terms:
-                acc = acc + jnp.exp(t_b - mx)
-            logq = mx + jnp.log(acc)
+            live = (k > 0) & (rb_raw * rb_raw * quad < 1e30)
+            rb = jnp.where(live, rb_raw, rp)
+        logn = -0.5 * rb * rb * quad - ls - half_l2pi
+        if m == 0:
+            # removable zero at rp = 0: series-windowed
+            # log(sin x / x) (the split form below is -inf when
+            # an f32 draw wraps to rp == 0 exactly — the d2p2e2
+            # eval NaN; see wrapped_normal.py)
+            u0 = (kpos * rp * rp if sign > 0
+                  else jnp.where(k > 0, kpos * rp * rp,
+                                 k * vsq_g))
+            logdet = (n - 1.0) * _log_sindiv_u_sgn_soft(u0, sign)
+        else:
+            log_sin_b = stable.log_abs_sin_soft(
+                x_red, taper_x=sqk * jnp.abs(rb))
+            sph = log_sin_b - jnp.log(
+                jnp.maximum(sqk * jnp.abs(rb), tin))
+            if sign > 0:
+                logdet = (n - 1.0) * sph
+            else:
+                logdet = (n - 1.0) * jnp.where(
+                    k > 0, sph,
+                    _log_sindiv_u_sgn_soft(k * vsq_g, sign))
+        t_b = logn - logdet
+        if live is not None:
+            t_b = jnp.where(live, t_b,
+                            jnp.full_like(t_b, -1e30))
+        terms.append(t_b)
+    mx = terms[0]
+    for t_b in terms[1:]:
+        mx = jnp.maximum(mx, t_b)
+    acc = jnp.zeros_like(mx)
+    for t_b in terms:
+        acc = acc + jnp.exp(t_b - mx)
+    return mx + jnp.log(acc)
 
-    # log p: prior WrappedNormal(mu0, 1) at z — the preimage radius is the
-    # direct arctan form from z (no round trip; isotropic sigma = 1)
-    r0 = 2.0 * jnp.sqrt(zn2 + tin) * _arctandiv_u_sgn(k * zn2, sign)
+
+def _logp_prior_rows(n, wraps, sign, k, r0, dt):
+    """Prior WrappedNormal(mu0, 1) log-density on (1, B) rows from the
+    preimage radius r0 (principal branch + one wrap-image pair for
+    positive-capable kinds) — the in-tile twin of
+    ``wrapped_normal._log_prob_from_principal`` at isotropic sigma = 1."""
+    tin = stable.tiny(dt)
+    half_l2pi = 0.5 * n * _LOG_2PI
     r02 = r0 * r0
     logp = (-0.5 * r02 - half_l2pi
             - (n - 1.0) * _log_sindiv_u_sgn_soft(k * r02, sign))
-
-    if wraps > 0 and sign >= 0:
-        period = (2.0 * jnp.pi
-                  / jnp.sqrt(jnp.maximum(k, 1e-20))).astype(dt)
-        cap = 1e15
-        sqk0 = jnp.sqrt(jnp.maximum(k, 1e-20))
-        terms = [logp]
-        for sgn in (1.0, -1.0):
-            rb_raw = r0 + sgn * period
-            live = (k > 0) & (jnp.abs(rb_raw) < cap)
-            rb = jnp.where(live, rb_raw, r0)
-            logn_b = -0.5 * rb * rb - half_l2pi
-            lsk_b = stable.log_abs_sin_soft(
-                sqk0 * r0, taper_x=sqk0 * jnp.abs(rb)) - jnp.log(sqk0)
-            logd_b = (n - 1.0) * (lsk_b - _log_max(jnp.abs(rb), tin))
-            terms.append(jnp.where(live, logn_b - logd_b,
-                                   jnp.full_like(logp, -1e30)))
-        m = jnp.maximum(jnp.maximum(terms[0], terms[1]), terms[2])
-        logp = m + jnp.log(jnp.exp(terms[0] - m)
-                           + jnp.exp(terms[1] - m)
-                           + jnp.exp(terms[2] - m))
-
-    return z, logq - logp, logq, logp
+    if wraps <= 0 or sign < 0:
+        return logp
+    period = (2.0 * jnp.pi
+              / jnp.sqrt(jnp.maximum(k, 1e-20))).astype(dt)
+    cap = 1e15
+    sqk0 = jnp.sqrt(jnp.maximum(k, 1e-20))
+    terms = [logp]
+    for sgn in (1.0, -1.0):
+        rb_raw = r0 + sgn * period
+        live = (k > 0) & (jnp.abs(rb_raw) < cap)
+        rb = jnp.where(live, rb_raw, r0)
+        logn_b = -0.5 * rb * rb - half_l2pi
+        lsk_b = stable.log_abs_sin_soft(
+            sqk0 * r0, taper_x=sqk0 * jnp.abs(rb)) - jnp.log(sqk0)
+        logd_b = (n - 1.0) * (lsk_b - _log_max(jnp.abs(rb), tin))
+        terms.append(jnp.where(live, logn_b - logd_b,
+                               jnp.full_like(logp, -1e30)))
+    m = jnp.maximum(jnp.maximum(terms[0], terms[1]), terms[2])
+    return m + jnp.log(jnp.exp(terms[0] - m)
+                       + jnp.exp(terms[1] - m)
+                       + jnp.exp(terms[2] - m))
 
 
 # --- whole-product tile + pallas_call plumbing -------------------------------
@@ -614,6 +736,8 @@ def _tail_tile(comps, raw_t, eps_t, kx, wx_t=None):
             z, kl, q, p = _tile_vmf(comp, raw, epsc, kc, w_in)
         elif comp.manifold.kind == "h":
             z, kl, q, p = _tile_wrapped_lorentz(comp, raw, epsc, kc)
+        elif comp.manifold.kind == "s":
+            z, kl, q, p = _tile_wrapped_sphere(comp, raw, epsc, kc)
         else:
             z, kl, q, p = _tile_wrapped_stereo(comp, raw, epsc, kc)
         zs.append(z)

@@ -244,18 +244,24 @@ def _arcsindiv_u_pos(w):
 
 _IVE_SWITCH = 40.0
 _IVE_TERMS = 64
+_IVE_NU_DEBYE = 8.0
 
 
 def _log_ive_rows(nu: float, x):
     """log(I_nu(x) e^{-x}) for x > 0 rows, nu a STATIC Python float —
-    the Mosaic-safe twin of ``utils.special.log_ive`` (same series/Hankel
-    split at x = 40, agrees to ~1e-6 rel): the ascending series runs in
-    LINEAR space via the term-ratio recurrence t_{j+1}/t_j =
+    the Mosaic-safe twin of ``utils.special.log_ive`` (same branch
+    structure, agrees to ~1e-6 rel): the ascending series below x = 40
+    runs in LINEAR space via the term-ratio recurrence t_{j+1}/t_j =
     (x^2/4)/((j+1)(nu+j+1)) — every intermediate stays under ~1.5e16 for
     x < 40, comfortably inside f32 — instead of special.log_ive's
     logsumexp over a trailing 64-term axis (a 3-D intermediate the TPU
-    kernel layout should not carry). Both branches evaluate on sanitized
-    arguments (the where-trick) so AD never sees NaN."""
+    kernel layout should not carry). Above the switch, nu <= 8 takes the
+    Hankel expansion; nu > 8 takes the uniform Debye large-order
+    asymptotic through u_4 (ADVICE r4: plain Hankel is +1.44 nats off at
+    nu=15.5, x=41 — it needs x >> nu^2) — here nu is STATIC so the
+    choice is a Python branch, one form per trace. Both live branches
+    evaluate on sanitized arguments (the where-trick) so AD never sees
+    NaN."""
     xs = jnp.minimum(x, _IVE_SWITCH)              # series branch arg
     q = 0.25 * xs * xs
     term = jnp.ones_like(xs)
@@ -265,16 +271,37 @@ def _log_ive_rows(nu: float, x):
         acc = acc + term
     log_series = (nu * jnp.log(jnp.maximum(xs, 1e-30) / 2.0)
                   - math.lgamma(nu + 1.0) + jnp.log(acc) - xs)
-    xb = jnp.maximum(x, _IVE_SWITCH)              # Hankel branch arg
-    mu4 = 4.0 * nu * nu
-    inv8x = 1.0 / (8.0 * xb)
-    s = jnp.ones_like(xb)
-    a = jnp.ones_like(xb)
-    for kk in range(1, 7):
-        a = -a * (mu4 - (2.0 * kk - 1.0) ** 2) * inv8x / kk
-        s = s + a
-    log_asym = (-0.5 * jnp.log(2.0 * jnp.pi * xb)
-                + jnp.log(jnp.maximum(s, 1e-12)))
+    xb = jnp.maximum(x, _IVE_SWITCH)              # large-x branch arg
+    if nu <= _IVE_NU_DEBYE:
+        mu4 = 4.0 * nu * nu
+        inv8x = 1.0 / (8.0 * xb)
+        s = jnp.ones_like(xb)
+        a = jnp.ones_like(xb)
+        for kk in range(1, 7):
+            a = -a * (mu4 - (2.0 * kk - 1.0) ** 2) * inv8x / kk
+            s = s + a
+        log_asym = (-0.5 * jnp.log(2.0 * jnp.pi * xb)
+                    + jnp.log(jnp.maximum(s, 1e-12)))
+    else:
+        z = xb * (1.0 / nu)
+        sq = jnp.sqrt(1.0 + z * z)
+        t = 1.0 / sq
+        eta = sq + jnp.log(z / (1.0 + sq))
+        t2 = t * t
+        u1 = t * (3.0 - 5.0 * t2) * (1.0 / 24.0)
+        u2 = t2 * (81.0 + t2 * (-462.0 + 385.0 * t2)) * (1.0 / 1152.0)
+        u3 = (t * t2 * (30375.0 + t2 * (-369603.0
+                        + t2 * (765765.0 - 425425.0 * t2)))
+              * (1.0 / 414720.0))
+        u4 = (t2 * t2 * (4465125.0 + t2 * (-94121676.0
+                         + t2 * (349922430.0 + t2 * (-446185740.0
+                                 + 185910725.0 * t2))))
+              * (1.0 / 39813120.0))
+        inv = 1.0 / nu
+        s = 1.0 + inv * (u1 + inv * (u2 + inv * (u3 + inv * u4)))
+        log_asym = (nu * eta - xb
+                    - 0.5 * math.log(2.0 * math.pi * nu)
+                    - 0.5 * jnp.log(sq) + jnp.log(jnp.maximum(s, 1e-12)))
     return jnp.where(x < _IVE_SWITCH, log_series, log_asym)
 
 

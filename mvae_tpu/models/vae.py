@@ -147,26 +147,41 @@ def _fused_head_raw(cfg: VAEConfig, params, feats):
     return raws
 
 
-def _fused_tail_eligible(cfg: VAEConfig, params) -> bool:
-    """The fused Pallas tail kernel (kernels/tail_kernels.py) covers the
-    WHOLE product latent in f32 when every component's (posterior, kind,
-    dim) is in its supported set; any other product takes the jnp path.
-    Under the default (auto) env the measured routing policy
-    ``product_fused_default`` additionally keeps products where the jnp
-    tail is faster on the jnp path; MVAE_FUSED_TAIL=1 forces every
-    capable product fused."""
+def _fused_tail_gate(cfg: VAEConfig, params) -> tuple[bool, str]:
+    """THE gate for the fused Pallas tail kernel (kernels/tail_kernels.py):
+    it covers the WHOLE product latent in f32 when every component's
+    (posterior, kind, dim) is in its supported set; any other product
+    takes the jnp path. Under the default (auto) env the measured routing
+    policy ``product_fused_default`` additionally keeps products where
+    the jnp tail measured faster on the jnp path; MVAE_FUSED_TAIL=1
+    forces every capable product fused.
+
+    Returns ``(eligible, reason)``. Both the router
+    (``_reparam_components``) and ``fused_path_report`` consume THIS
+    predicate, so the report cannot disagree with the traced program by
+    construction (ADVICE r4)."""
     import os
     from ..kernels import tail_kernels
     if not tail_kernels.use_fused_tail():
-        return False
-    for cp in params["components"]:
-        if cp["w_mu"].dtype != jnp.float32:
-            return False
-    if not all(tail_kernels.component_supported(c) for c in cfg.components):
-        return False
-    if os.environ.get("MVAE_FUSED_TAIL") == "1":
-        return True
-    return tail_kernels.product_fused_default(cfg.components)
+        return False, "MVAE_FUSED_TAIL off (env/backend)"
+    if any(cp["w_mu"].dtype != jnp.float32
+           for cp in params["components"]):
+        return False, "non-f32 head params"
+    unsup = [f"{c.name}:{c.posterior}" for c in cfg.components
+             if not tail_kernels.component_supported(c)]
+    if unsup:
+        return False, ("unsupported component(s): " + ",".join(unsup)
+                       + " -> jnp tail")
+    if (os.environ.get("MVAE_FUSED_TAIL") != "1"
+            and not tail_kernels.product_fused_default(cfg.components)):
+        return False, ("kernel-capable but jnp tail measured faster for "
+                       "this product (auto routing; MVAE_FUSED_TAIL=1 "
+                       "forces fused)")
+    return True, "all components in kernel family"
+
+
+def _fused_tail_eligible(cfg: VAEConfig, params) -> bool:
+    return _fused_tail_gate(cfg, params)[0]
 
 
 def _reparam_components(key, cfg: VAEConfig, params, feats,
@@ -526,31 +541,14 @@ def fused_path_report(cfg: VAEConfig, params, mesh=None) -> dict:
     'iwae_reparam' (per-component list). Every entry is
     {'active': bool, 'why': str}.
     """
-    from ..kernels import decoder_kernels, manifold_kernels, tail_kernels
+    from ..kernels import decoder_kernels, manifold_kernels
 
     def entry(active: bool, why: str) -> dict:
         return {"active": bool(active), "why": why}
 
     # --- train/eval-ELBO tail (one fwd + one bwd kernel for the product) ----
-    import os as _os
-    if not tail_kernels.use_fused_tail():
-        tail = entry(False, "MVAE_FUSED_TAIL off (env/backend)")
-    elif any(cp["w_mu"].dtype != jnp.float32
-             for cp in params["components"]):
-        tail = entry(False, "non-f32 head params")
-    else:
-        unsup = [f"{c.name}:{c.posterior}" for c in cfg.components
-                 if not tail_kernels.component_supported(c)]
-        if unsup:
-            tail = entry(False, "unsupported component(s): "
-                         + ",".join(unsup) + " -> jnp tail")
-        elif (_os.environ.get("MVAE_FUSED_TAIL") != "1"
-              and not tail_kernels.product_fused_default(cfg.components)):
-            tail = entry(False, "kernel-capable but jnp tail measured "
-                         "faster for this product (auto routing; "
-                         "MVAE_FUSED_TAIL=1 forces fused)")
-        else:
-            tail = entry(True, "all components in kernel family")
+    # Same predicate as the router (_reparam_components) by construction.
+    tail = entry(*_fused_tail_gate(cfg, params))
     if mesh is not None and tail["active"]:
         tail["why"] += " (per-device under shard_map)"
 

@@ -487,15 +487,21 @@ class Trainer:
                                        k_models))
         return float(lls.reshape(-1)[:n].mean())
 
-    def _host_state(self) -> dict:
-        """Host (numpy) copy of the resumable state — the non-finite
-        guard's last-finite snapshot (one epoch's worth of params+opt is a
-        few MB; the copy costs one device sync per epoch)."""
-        return jax.tree.map(np.asarray, self.state())
+    def _guard_state(self) -> dict:
+        """DEVICE copy of the resumable state — the non-finite guard's
+        last-finite snapshot. A fresh-buffer HBM copy (async, no host
+        sync) is required because the epoch step donates the live
+        params/opt buffers; it is fetched to host only if the guard
+        actually trips (VERDICT r4 #6: the old per-epoch full-state host
+        sync was a real stall at scale)."""
+        return jax.tree.map(jnp.copy, self.state())
 
     def _check_finite(self, epoch: int, train_stats: dict,
                       prev_state: dict | None):
-        """Halt-and-dump on the first non-finite epoch (VERDICT r3 #2)."""
+        """Halt-and-dump on the first non-finite epoch (VERDICT r3 #2).
+        The finite check rides on the epoch stats that are fetched for
+        logging anyway; ``prev_state`` stays device-resident until the
+        (rare) trigger."""
         scalars = {k: v for k, v in train_stats.items() if np.ndim(v) == 0}
         if all(np.isfinite(v) for v in scalars.values()):
             return
@@ -523,7 +529,7 @@ class Trainer:
         for epoch in range(self.tc.epochs):
             if profile_epochs and epoch == 0:
                 jax.profiler.start_trace(f"{self.run_dir}/profile")
-            state_before = self._host_state()
+            state_before = self._guard_state()
             train_stats = self.train_one_epoch(epoch)
             if profile_epochs and epoch + 1 == profile_epochs:
                 jax.profiler.stop_trace()

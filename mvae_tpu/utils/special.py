@@ -2,10 +2,15 @@
 
 * ``log_ive(nu, x)`` — log of the exponentially-scaled modified Bessel
   function log(I_nu(x) e^{-x}), for nu >= 0 (integer or half-integer; any
-  real works), x >= 0. Power series in log-space below the switch point,
-  Hankel asymptotic expansion above. Accurate to ~1e-6 relative for
-  nu <= ~10, which covers vMF on the latent spheres this framework targets
-  (the reference uses scipy's ``ive`` on CPU; TPU needs a jit-able form).
+  real works), x >= 0. Three branches: power series in log-space below the
+  switch point x = 40 (any nu); Hankel asymptotic above for nu <= 8; and a
+  uniform (Debye) large-order asymptotic through u_4 above for nu > 8 —
+  the plain Hankel series diverges near the switch once nu is large
+  (ADVICE r4: +1.44 nats at nu=15.5, x=41), while the Debye form is valid
+  uniformly in x/nu. Accurate to ~1e-6 relative across nu <= ~16
+  (vMF latents up to dim 32, which is the fused-tail cap), verified vs
+  scipy ``ive`` in tests/ops/test_special.py.
+  (The reference uses scipy's ``ive`` on CPU; TPU needs a jit-able form.)
 * ``erfcx(x)`` — scaled complementary error function e^{x^2} erfc(x),
   overflow-free for the Riemannian-normal log-partition sums.
 
@@ -49,6 +54,34 @@ def _log_ive_asymptotic(nu, x):
     return -0.5 * jnp.log(2.0 * jnp.pi * jnp.maximum(x, 1.0)) + jnp.log(s)
 
 
+_NU_DEBYE = 8.0
+
+
+def _log_ive_debye(nu, x):
+    """Uniform large-order (Debye) asymptotic for I_nu(x) e^{-x}:
+    I_nu(nu z) ~ e^{nu eta} / (sqrt(2 pi nu) (1+z^2)^{1/4}) * sum u_k(t)/nu^k
+    with t = (1+z^2)^{-1/2}, eta = sqrt(1+z^2) + log(z/(1+sqrt(1+z^2)))
+    (A&S 9.7.7; polynomials 9.3.9/9.3.10 through u_4). Valid uniformly in
+    z for large nu — error O(nu^-5), < 1e-6 rel for nu >= 8."""
+    nu_s = jnp.maximum(nu, 1.0)  # sanitized: branch discarded for small nu
+    z = x / nu_s
+    sq = jnp.sqrt(1.0 + z * z)
+    t = 1.0 / sq
+    eta = sq + jnp.log(z / (1.0 + sq))
+    t2 = t * t
+    u1 = t * (3.0 - 5.0 * t2) / 24.0
+    u2 = t2 * (81.0 + t2 * (-462.0 + 385.0 * t2)) / 1152.0
+    u3 = (t * t2 * (30375.0 + t2 * (-369603.0
+                    + t2 * (765765.0 - 425425.0 * t2)))) / 414720.0
+    u4 = (t2 * t2 * (4465125.0 + t2 * (-94121676.0
+                     + t2 * (349922430.0 + t2 * (-446185740.0
+                             + 185910725.0 * t2))))) / 39813120.0
+    inv = 1.0 / nu_s
+    s = 1.0 + inv * (u1 + inv * (u2 + inv * (u3 + inv * u4)))
+    return (nu_s * eta - x - 0.5 * jnp.log(2.0 * jnp.pi * nu_s)
+            - 0.5 * jnp.log(sq) + jnp.log(jnp.maximum(s, 1e-12)))
+
+
 def log_ive(nu, x):
     """log(I_nu(x) * exp(-x)) for x >= 0, elementwise in x; nu scalar."""
     x = jnp.asarray(x)
@@ -56,8 +89,11 @@ def log_ive(nu, x):
     small = x < _SWITCH_X
     x_small = jnp.where(small, x, 1.0)
     x_big = jnp.where(small, _SWITCH_X + 1.0, x)
-    return jnp.where(small, _log_ive_series(nu, x_small),
-                     _log_ive_asymptotic(nu, x_big))
+    # Hankel diverges near the switch for large nu (needs x >> nu^2);
+    # route large orders to the uniform Debye expansion instead.
+    big = jnp.where(nu > _NU_DEBYE, _log_ive_debye(nu, x_big),
+                    _log_ive_asymptotic(nu, x_big))
+    return jnp.where(small, _log_ive_series(nu, x_small), big)
 
 
 def log_iv(nu, x):

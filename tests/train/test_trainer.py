@@ -254,11 +254,28 @@ class TestFusedPathsReport:
         assert tr_on.fused_paths["train_tail"]["active"]
         assert tail_in_jaxpr(tr_on)
 
-        # unsupported component (wrapped on s): falls back + says why
+        # embedded-sphere wrapped is IN the kernel family since r4's
+        # snapshot commit (tail_kernels.component_supported covers
+        # wrapped-on-s): forced-fused it must be active, report == jaxpr
         tr_s = make_trainer(tmp_path / "s", spec="s2:wrapped,e2", epochs=1)
-        repo = tr_s.fused_paths["train_tail"]
-        assert not repo["active"] and "s2:wrapped" in repo["why"]
-        assert not tail_in_jaxpr(tr_s)
+        assert tr_s.fused_paths["train_tail"]["active"]
+        assert tail_in_jaxpr(tr_s)
+
+        # genuinely unsupported component (riemannian posterior): falls
+        # back + says why, even though MVAE_FUSED_TAIL=1 is still set
+        tr_r = make_trainer(tmp_path / "r", spec="d2:riemannian,e2",
+                            epochs=1)
+        repo = tr_r.fused_paths["train_tail"]
+        assert not repo["active"] and "d2:riemannian" in repo["why"]
+        assert not tail_in_jaxpr(tr_r)
+
+        # auto routing (env unset): a lone-e product is kernel-CAPABLE but
+        # the measured policy keeps it on the jnp tail; report == jaxpr
+        monkeypatch.delenv("MVAE_FUSED_TAIL")
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        tr_e = make_trainer(tmp_path / "e", spec="e2", epochs=1)
+        repe = tr_e.fused_paths["train_tail"]
+        assert not repe["active"] and "measured faster" in repe["why"]
 
     def test_report_in_cli_result(self, tmp_path):
         from mvae_tpu.cli import main

@@ -77,6 +77,12 @@ class Component:
     # curvature: 1 = exact density at trained sigma (default); 0 = the
     # reference's PRINCIPAL-BRANCH-ONLY estimator, for strict parity runs
     wraps: int = 1
+    # injectivity-radius soft cap on wrapped posterior scales when the
+    # curvature can be positive (cap_sigma_positive_k, the round-4
+    # stability fix). False = the raw reference model class (no cap) —
+    # for basin/bias studies; uncapped components route to the jnp tail
+    # (the fused kernel bakes the cap in).
+    sigma_cap: bool = True
 
     def __post_init__(self):
         if self.posterior not in POSTERIORS:
@@ -159,7 +165,8 @@ class Component:
                 scale = scale.squeeze(-1)
             elif (self.posterior == "wrapped"
                   and self.manifold.curvature_sign >= 0
-                  and self.manifold.kind != "e"):
+                  and self.manifold.kind != "e"
+                  and self.sigma_cap):
                 # wrapped on s/p/u: saturate at the injectivity radius
                 scale = cap_sigma_positive_k(scale, k)
         return mu, scale, k

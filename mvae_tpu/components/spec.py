@@ -28,7 +28,8 @@ _FACTOR_RE = re.compile(
 
 def parse_components(spec: str, fixed_curvature: bool = True,
                      scalar_sigma: bool = False,
-                     wraps: int = 1) -> tuple[Component, ...]:
+                     wraps: int = 1,
+                     sigma_cap: bool = True) -> tuple[Component, ...]:
     """Parse a latent spec string into a tuple of Components.
 
     ``wraps=0`` selects the reference's principal-branch-only wrapped-
@@ -54,7 +55,8 @@ def parse_components(spec: str, fixed_curvature: bool = True,
         for _ in range(mult):
             comps.append(Component(Manifold(kind, dim), posterior,
                                    fixed_curvature=fixed_curvature,
-                                   scalar_sigma=scalar_sigma, wraps=wraps))
+                                   scalar_sigma=scalar_sigma, wraps=wraps,
+                                   sigma_cap=sigma_cap))
     return tuple(comps)
 
 

@@ -100,6 +100,13 @@ def use_fused_tail() -> bool:
     return jax.default_backend() != "cpu"
 
 
+# Routing-table version actually traced into programs — recorded per run
+# (models/vae.py::fused_path_report) so cross-round throughput/LL rows say
+# which policy generation they ran under (VERDICT r4 #7). Bump when
+# component_supported / product_fused_default change.
+ROUTING_POLICY = "r5-measured-product-v2"
+
+
 def component_supported(comp) -> bool:
     """Static (component -> kernel CAPABILITY) predicate. Whether the
     fused tail is the better ROUTE for a given product is a separate,
@@ -107,6 +114,10 @@ def component_supported(comp) -> bool:
     if comp.posterior == "normal":
         return comp.dim <= 32
     if comp.posterior == "wrapped":
+        if (comp.manifold.curvature_sign >= 0 and comp.manifold.kind != "e"
+                and not comp.sigma_cap):
+            return False  # the kernel bakes the sigma cap in; uncapped
+            # (basin-study) components must take the jnp tail
         return (comp.manifold.kind in ("h", "d", "p", "u", "s")
                 and comp.dim <= 32)
     if comp.posterior == "vmf":

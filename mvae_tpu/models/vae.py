@@ -583,8 +583,10 @@ def fused_path_report(cfg: VAEConfig, params, mesh=None) -> dict:
             reparam.append(entry(
                 False, f"{comp.name}#{i}: {comp.posterior} on "
                 f"'{comp.manifold.kind}' not in stereo-wrapped family"))
+    from ..kernels import tail_kernels
     return {"train_tail": tail, "train_decoder": tdec,
-            "iwae_decoder": idec, "iwae_reparam": reparam}
+            "iwae_decoder": idec, "iwae_reparam": reparam,
+            "routing_policy": tail_kernels.ROUTING_POLICY}
 
 
 def generate(key, cfg: VAEConfig, params, n: int, dtype=jnp.float32):

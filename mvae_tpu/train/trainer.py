@@ -526,11 +526,14 @@ class Trainer:
             profile_epochs: int = 0,
             ll_repeats: int = 1) -> dict:
         t0 = time.time()
+        train_wall = 0.0  # train-epoch wall only (excludes eval/ckpt)
         for epoch in range(self.tc.epochs):
             if profile_epochs and epoch == 0:
                 jax.profiler.start_trace(f"{self.run_dir}/profile")
             state_before = self._guard_state()
+            te0 = time.time()
             train_stats = self.train_one_epoch(epoch)
+            train_wall += time.time() - te0
             if profile_epochs and epoch + 1 == profile_epochs:
                 jax.profiler.stop_trace()
             self._check_finite(epoch, train_stats, state_before)
@@ -549,8 +552,15 @@ class Trainer:
         ll = self.evaluate_log_likelihood("test", max_examples=ll_max_examples,
                                           repeats=ll_repeats)
         wall = time.time() - t0
+        # steps_per_sec is whole-run wall (train + per-epoch evals + final
+        # IWAE) — a RUN metric; train_steps_per_sec excludes eval wall and
+        # is the cross-config throughput number (VERDICT r4 #7: the matrix
+        # mislabeled whole-run wall as steps_per_sec).
         final = {"test/log_likelihood_iwae": ll, "wall_seconds": wall,
-                 "steps_per_sec": float(self.step) / max(wall, 1e-9)}
+                 "steps_per_sec": float(self.step) / max(wall, 1e-9),
+                 "train_wall_seconds": train_wall,
+                 "train_steps_per_sec":
+                     float(self.step) / max(train_wall, 1e-9)}
         self.logger.log(int(self.step), final)
         self.save_checkpoint()
         if verbose:

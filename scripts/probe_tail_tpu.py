@@ -1,9 +1,13 @@
-"""TPU probe: fused-tail train step vs jnp-tail train step (h2,s2,e2,
-batch 1024) — Mosaic compile check + steady-state steps/s, plus a value
-check of loss equality between routings at identical draws.
+"""TPU probe: fused-tail train step vs jnp-tail train step — Mosaic
+compile check + steady-state steps/s, plus a value check of loss equality
+between routings at identical draws.
 
-Run on the real chip: python scripts/probe_tail_tpu.py
+Run on the real chip:
+    python scripts/probe_tail_tpu.py [--spec h2,s2,e2] [--batch 1024]
+(for products the auto policy routes to the jnp tail — e.g. the vMF
+m != 3 wx channel — set MVAE_FUSED_TAIL=1 to force the fused side.)
 """
+import argparse
 import json
 import os
 import sys
@@ -21,7 +25,7 @@ from mvae_tpu.models import VAEConfig, init_params, loss_fn, vae
 from mvae_tpu.train import TrainConfig, make_optimizer
 from mvae_tpu.train.trainer import _mask_curvature_grads
 
-BATCH, DATA_DIM, H_DIM, SCAN = 1024, 784, 400, 2000
+DATA_DIM, H_DIM, SCAN = 784, 400, 2000
 
 
 def log(*a):
@@ -53,9 +57,14 @@ def build_chunk(cfg, tc, tx, allow_fused):
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--spec", default="h2,s2,e2")
+    ap.add_argument("--batch", type=int, default=1024)
+    args = ap.parse_args()
+    BATCH = args.batch
     dev = jax.devices()[0]
-    log(f"device: {dev}")
-    cfg = VAEConfig(components=parse_components("h2,s2,e2",
+    log(f"device: {dev} spec={args.spec} batch={BATCH}")
+    cfg = VAEConfig(components=parse_components(args.spec,
                                                 fixed_curvature=False),
                     data_shape=(DATA_DIM,), arch="mlp", h_dim=H_DIM)
     tc = TrainConfig(batch_size=BATCH, burnin_epochs=0)
@@ -76,7 +85,8 @@ def main():
     log(f"loss fused={float(l_f):.6f} jnp={float(l_j):.6f} "
         f"delta={abs(float(l_f) - float(l_j)):.2e}")
 
-    out = {"loss_fused": float(l_f), "loss_jnp": float(l_j)}
+    out = {"spec": args.spec, "batch": BATCH,
+           "loss_fused": float(l_f), "loss_jnp": float(l_j)}
     for label, allow in (("jnp", False), ("fused", True)):
         params = params0
         opt_state = tx.init(params)

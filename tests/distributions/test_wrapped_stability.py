@@ -156,6 +156,32 @@ class TestSigmaCap:
         _, scale, kv = comp.posterior_params_from_raw(params, raw)
         assert np.all(np.asarray(scale) <= float(jnp.pi) * 1.0001)
 
+    def test_sigma_cap_false_leaves_raw_scale(self):
+        """Component(sigma_cap=False) — the round-5 basin-study model
+        class — leaves the posterior scale at raw softplus even far
+        beyond the injectivity radius, and is excluded from the fused
+        tail family (the kernel bakes the cap in)."""
+        import dataclasses
+        from mvae_tpu.kernels import tail_kernels
+        comp = parse_components("s4:wrapped")[0]
+        un = dataclasses.replace(comp, sigma_cap=False)
+        params = comp.init_params(key(1), 16, init_k=1.0)
+        raw = jnp.concatenate(
+            [jnp.zeros((2, 4)), jnp.full((2, 4), 60.0)], axis=-1)
+        _, scale_u, kv = un.posterior_params_from_raw(params, raw)
+        np.testing.assert_allclose(
+            np.asarray(scale_u),
+            np.asarray(jax.nn.softplus(raw[..., 4:])), rtol=1e-6)
+        assert np.all(np.asarray(scale_u) > float(jnp.pi))  # beyond cap
+        assert tail_kernels.component_supported(comp)
+        assert not tail_kernels.component_supported(un)
+        # negative-curvature wrapped never caps: the switch is a no-op
+        assert tail_kernels.component_supported(dataclasses.replace(
+            parse_components("h4")[0], sigma_cap=False))
+        # spec-parser pass-through
+        assert not parse_components("s2:wrapped",
+                                    sigma_cap=False)[0].sigma_cap
+
 
 class TestNoKLExploit:
     def test_kl_estimator_unbiased_at_cap(self):

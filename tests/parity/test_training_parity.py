@@ -29,7 +29,8 @@ BS = 8
 def _comp_descr(components):
     return [{"kind": c.manifold.kind, "dim": c.dim,
              "posterior": c.posterior,
-             "fixed_curvature": c.fixed_curvature} for c in components]
+             "fixed_curvature": c.fixed_curvature,
+             "sigma_cap": c.sigma_cap} for c in components]
 
 
 def _noise_kinds(components):
@@ -85,6 +86,44 @@ def test_one_epoch_matches_torch_replica(tmp_path, spec, fixed):
                            model.to_jax_params(jax.tree.map(np.asarray,
                                                             tr.params)))
     assert delta < 5e-4, f"params diverged after one epoch: {delta}"
+
+
+def test_one_epoch_uncapped_s_wrapped_matches_torch(tmp_path):
+    """sigma_cap=False (the round-5 basin-study model class) must stay
+    draw-for-draw mirrored between the two frameworks too — the uncapped
+    torch twin is only evidence about the reference family if it tracks
+    the uncapped jax model exactly."""
+    import dataclasses
+    comps = tuple(dataclasses.replace(c, sigma_cap=False)
+                  for c in parse_components("s2:wrapped", wraps=0))
+    assert not comps[0].sigma_cap
+    cfg = vae.VAEConfig(components=comps, data_shape=(D,), h_dim=16)
+    rng = np.random.default_rng(7)
+    train = (rng.uniform(size=(N_TRAIN, D)) > 0.5).astype(np.float32) * 0.8
+    ds = ArrayDataset(train=train, test=train[:8], data_shape=(D,),
+                      binarize=True, name="tiny")
+    tc = TrainConfig(epochs=1, batch_size=BS, burnin_epochs=0, seed=3,
+                     train_rng="threefry", eval_batch_size=8)
+    tr = Trainer(cfg, ds, tc, run_dir=str(tmp_path))
+    # uncapped positive-K wrapped must route to the jnp tail (the fused
+    # kernel bakes the cap in)
+    from mvae_tpu.kernels import tail_kernels
+    assert not tail_kernels.component_supported(comps[0])
+    assert not tr.fused_paths["train_tail"]["active"]
+    model = TorchVAEReplica(jax.tree.map(np.asarray, tr.params),
+                            _comp_descr(comps), beta=tc.beta)
+    rep = TorchTrainerReplica(model, lr=tc.lr, curvature_lr=tc.curvature_lr,
+                              burnin_epochs=0,
+                              steps_per_epoch=tr.steps_per_epoch)
+    key, _init = jax.random.split(jax.random.key(tc.seed))
+    key, perm, noises = epoch_noise(key, _noise_kinds(comps), 0,
+                                    tr.steps_per_epoch, BS, (D,), N_TRAIN)
+    tr.train_one_epoch(0)
+    rep.train_epoch(train, perm, noises, BS)
+    delta = _max_rel_delta(tr.params,
+                           model.to_jax_params(jax.tree.map(np.asarray,
+                                                            tr.params)))
+    assert delta < 5e-4, f"uncapped params diverged after one epoch: {delta}"
 
 
 def test_curvature_frozen_during_burnin(tmp_path):

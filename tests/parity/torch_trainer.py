@@ -671,7 +671,11 @@ class TorchVAEReplica:
             entry = {"kind": kind, "dim": int(spec["dim"]),
                      "posterior": spec.get(
                          "posterior", self._DEFAULT_POSTERIOR[kind]),
-                     "fixed": bool(spec.get("fixed_curvature", True))}
+                     "fixed": bool(spec.get("fixed_curvature", True)),
+                     # mirror of Component.sigma_cap: False = the raw
+                     # (uncapped) reference model class, for the round-5
+                     # basin study — the f64 regime needs no cap
+                     "sigma_cap": bool(spec.get("sigma_cap", True))}
             for name in ("w_mu", "b_mu", "w_sig", "b_sig"):
                 entry[name] = _to_t(cp[name], True)
             if "c_param" in cp:
@@ -782,8 +786,9 @@ class TorchVAEReplica:
             # round-trip-free drawn form (wraps=0 principal semantics)
             k = self.curvature(c)
             mu = sphere_exp_mu0_t(raw_mu, k)
-            sigma = cap_sigma_positive_k_t(
-                torch.nn.functional.softplus(raw_sig), k)
+            sigma = torch.nn.functional.softplus(raw_sig)
+            if c["sigma_cap"]:
+                sigma = cap_sigma_positive_k_t(sigma, k)
             v = sigma * _to_t(noise["eps"])
             z = sphere_exp_t(mu, sphere_pt_mu0_t(v, mu, k), k)
             log_q = wrapped_logq_drawn_t(v, sigma, k,
@@ -797,7 +802,8 @@ class TorchVAEReplica:
             k = self.curvature(c)
             mu = stereo_exp_mu0_t(raw_mu, k)
             sigma = torch.nn.functional.softplus(raw_sig)
-            if kind in ("p", "u"):  # curvature can be positive: cap
+            if kind in ("p", "u") and c["sigma_cap"]:
+                # curvature can be positive: injectivity-radius cap
                 sigma = cap_sigma_positive_k_t(sigma, k)
             v = sigma * _to_t(noise["eps"])
             z = stereo_project_t(

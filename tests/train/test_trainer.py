@@ -287,7 +287,16 @@ class TestFusedPathsReport:
         summary = _json.loads((tmp_path / "fp_run" / "result.json")
                               .read_text())
         assert {"train_tail", "train_decoder", "iwae_decoder",
-                "iwae_reparam"} <= set(summary["fused_paths"])
+                "iwae_reparam", "routing_policy"} <= set(
+                    summary["fused_paths"])
+        from mvae_tpu.kernels import tail_kernels
+        assert (summary["fused_paths"]["routing_policy"]
+                == tail_kernels.ROUTING_POLICY)
+        # train-only throughput rides next to the whole-run number
+        # (VERDICT r4 #7: eval wall must not pollute steps_per_sec rows)
+        assert summary["train_wall_seconds"] < summary["wall_seconds"]
+        assert (summary["train_steps_per_sec"]
+                > summary["steps_per_sec"])
 
 
 class TestMeshTrainer:

@@ -39,6 +39,21 @@ def set_bf16_matmul(enabled: bool):
     _BF16_MATMUL = enabled
 
 
+# bf16 activations BETWEEN the convs (f32 master weights, cast at use; the
+# MXU accumulates in f32 internally either way). The conv train step is
+# elementwise-HBM-bound past its matmuls — ~130 us/step of f32 image-scale
+# relu/binarize/BCE traffic (RESULTS_r4 §5) — and this halves those bytes.
+# Opt-in (MVAE_BF16_CONV_ACT=1); bench.py A/Bs it every round (VERDICT r4
+# #4). Logits return to f32 before the BCE so the loss composition is
+# unchanged in dtype.
+_BF16_CONV_ACT = os.environ.get("MVAE_BF16_CONV_ACT", "0") == "1"
+
+
+def set_bf16_conv_activations(enabled: bool):
+    global _BF16_CONV_ACT
+    _BF16_CONV_ACT = enabled
+
+
 def _linear(params, x):
     w = params["w"]
     if _BF16_MATMUL and x.dtype == jnp.float32:
@@ -69,20 +84,22 @@ def _conv_pet(x):
 
 
 def _conv(params, x, stride: int):
-    """NHWC conv, SAME padding — the TPU-native layout."""
+    """NHWC conv, SAME padding — the TPU-native layout. Weights/bias cast
+    to the activation dtype at use (no-op except under bf16-activation
+    mode, where masters stay f32)."""
     out = jax.lax.conv_general_dilated(
-        x, params["w"], window_strides=(stride, stride), padding="SAME",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        x, params["w"].astype(x.dtype), window_strides=(stride, stride),
+        padding="SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=_conv_pet(x))
-    return out.astype(x.dtype) + params["b"]
+    return out.astype(x.dtype) + params["b"].astype(x.dtype)
 
 
 def _conv_transpose(params, x, stride: int):
     out = jax.lax.conv_transpose(
-        x, params["w"], strides=(stride, stride), padding="SAME",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        x, params["w"].astype(x.dtype), strides=(stride, stride),
+        padding="SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=_conv_pet(x))
-    return out.astype(x.dtype) + params["b"]
+    return out.astype(x.dtype) + params["b"].astype(x.dtype)
 
 
 # --- MLP encoder/decoder (MNIST / Omniglot / BDP) ----------------------------
@@ -147,9 +164,14 @@ def conv_encoder_apply(params, x):
     """x (..., H, W, C) -> features (..., h_dim)."""
     batch = x.shape[:-3]
     x = x.reshape((-1,) + x.shape[-3:])
+    if _BF16_CONV_ACT and x.dtype == jnp.float32:
+        x = x.astype(jnp.bfloat16)
     h = jax.nn.relu(_conv(params["conv1"], x, 2))
     h = jax.nn.relu(_conv(params["conv2"], h, 2))
     h = h.reshape(h.shape[0], -1)
+    # features (and everything downstream: heads, posteriors) stay at the
+    # master dtype — only the image-scale conv activations ride bf16
+    h = h.astype(params["fc"]["w"].dtype)
     h = jax.nn.relu(_linear(params["fc"], h))
     return h.reshape(batch + (h.shape[-1],))
 
@@ -178,6 +200,10 @@ def conv_decoder_apply(params, z):
     c = _CONV_CHANNELS[1]
     s = int(math.isqrt(params["fc2"]["w"].shape[1] // c))
     h = h.reshape(-1, s, s, c)
+    if _BF16_CONV_ACT and h.dtype == jnp.float32:
+        h = h.astype(jnp.bfloat16)
     h = jax.nn.relu(_conv_transpose(params["deconv1"], h, 2))
     logits = _conv_transpose(params["deconv2"], h, 2)
+    # logits back at the master dtype for the BCE composition
+    logits = logits.astype(params["fc1"]["w"].dtype)
     return logits.reshape(batch + logits.shape[1:])

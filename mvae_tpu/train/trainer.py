@@ -493,8 +493,17 @@ class Trainer:
         sync) is required because the epoch step donates the live
         params/opt buffers; it is fetched to host only if the guard
         actually trips (VERDICT r4 #6: the old per-epoch full-state host
-        sync was a real stall at scale)."""
-        return jax.tree.map(jnp.copy, self.state())
+        sync was a real stall at scale).
+
+        The whole-tree copy runs as ONE jitted program: per-leaf eager
+        jnp.copy dispatched ~30 tiny programs per epoch, each paying the
+        axon relay's ~25-30 ms per-execution overhead — measured 3.7 s
+        per epoch blocked, i.e. it DOMINATED matrix-scale epoch wall
+        (0.18 s of actual train time at e6/B=256)."""
+        if not hasattr(self, "_copy_state_fn"):
+            self._copy_state_fn = jax.jit(
+                lambda t: jax.tree.map(jnp.copy, t))
+        return self._copy_state_fn(self.state())
 
     def _check_finite(self, epoch: int, train_stats: dict,
                       prev_state: dict | None):

@@ -62,6 +62,9 @@ from parity.torch_trainer import (TorchTrainerReplica, TorchVAEReplica,
                                   epoch_noise)
 
 
+LIKELIHOOD_N = 500  # --smoke drops this to 50
+
+
 def build_eval_trainer(ds, args, sigma_cap: bool, wraps: int, run_dir: str):
     """A Trainer used purely as the IWAE eval instrument for a given model
     class (capped/uncapped q, wrap-image count)."""
@@ -70,7 +73,7 @@ def build_eval_trainer(ds, args, sigma_cap: bool, wraps: int, run_dir: str):
     cfg = vae.VAEConfig(components=comps, data_shape=ds.data_shape)
     tc = TrainConfig(epochs=args.epochs, batch_size=args.batch_size,
                      burnin_epochs=args.burnin, seed=args.seed,
-                     eval_binarize="fixed", likelihood_n=500,
+                     eval_binarize="fixed", likelihood_n=LIKELIHOOD_N,
                      train_rng="threefry")
     return Trainer(cfg, ds, tc, run_dir=run_dir), cfg, tc
 
@@ -162,9 +165,18 @@ def main():
                    help="run_dir of a trained CAPPED jax matrix run: "
                         "evaluate capped-vs-uncapped q at its checkpoint")
     p.add_argument("--out", default="results/r5_s6wrapped_basin.json")
+    p.add_argument("--smoke", action="store_true",
+                   help="tiny end-to-end validation of the script itself: "
+                        "2048 train / 512 test examples, IWAE-50 — checks "
+                        "every code path before the multi-hour real run")
     args = p.parse_args()
 
     ds = load_dataset("mnist")
+    if args.smoke:
+        import dataclasses as _dc
+        ds = _dc.replace(ds, train=ds.train[:2048], test=ds.test[:512])
+        global LIKELIHOOD_N
+        LIKELIHOOD_N = 50
     out = {"settings": {"epochs": args.epochs,
                         "batch_size": args.batch_size,
                         "seed": args.seed, "burnin": args.burnin,

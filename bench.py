@@ -364,6 +364,75 @@ def main():
     else:
         t_ceil_c, conv_binding = t_cstep, "unavailable"
 
+    # ---- conv DEVICE-TIME floor (round-4 VERDICT weak #5 / r5 #4): the
+    # honest ceiling metric. The MXU floor above is deliberately loose
+    # (the step is elementwise-HBM-bound per the RESULTS_r4 §5
+    # decomposition: ~130 us/step of relu/binarize/BCE traffic over the
+    # 2.1M-element conv1 activations); the tight floor is the program's
+    # own PROFILER DEVICE TIME per step — wall/device >= 1 always, and
+    # pct_of_device_floor says how much of the measured wall is chip work
+    # vs dispatch/relay overhead. Same methodology as the MLP step's
+    # 32k-chunk treatment (SCAN_STEPS note), measured instead of argued.
+    conv_dev_us = None
+    try:
+        import shutil
+        import tempfile
+        tmp = tempfile.mkdtemp(prefix="benchconv_")
+        try:
+            jax.profiler.start_trace(tmp)
+            params_c, opt_c, lc = run_c(params_c, opt_c, intens_c,
+                                        jax.random.key(12, impl=RNG))
+            float(lc)
+            jax.profiler.stop_trace()
+            dev_ms = _rl._trace_device_ms(tmp, ["run_c"])
+            if dev_ms.get("run_c", 0.0) > 0:
+                conv_dev_us = dev_ms["run_c"] * 1e3 / CONV_STEPS
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+    except Exception as e:
+        log(f"conv device-time profile unavailable ({type(e).__name__}: {e})")
+    if conv_dev_us:
+        conv_floor_sps = 1e6 / conv_dev_us
+        conv_pct_dev = 100.0 * conv_sps / conv_floor_sps
+        log(f"conv device floor: {conv_dev_us:.1f} us/step -> "
+            f"{conv_floor_sps:.0f} steps/s; wall {conv_sps:.0f} = "
+            f"{conv_pct_dev:.1f}% of device floor")
+    else:
+        conv_floor_sps = conv_pct_dev = None
+
+    # ---- MVAE_BF16_CONV_ACT A/B (round-4 VERDICT weak #5 attack): bf16
+    # activations between the convs (f32 masters, f32 logits for BCE)
+    # halve the elementwise-HBM term's bytes. Trace-time flag -> a fresh
+    # jit; measured every round so the routing default stays evidence-
+    # backed (keep only if it wins).
+    from mvae_tpu.models import nets as _nets
+
+    @jax.jit
+    def run_c_bf16(params, opt_state, intens, key):
+        keys = jax.random.split(key, CONV_STEPS)
+        (params, opt_state, _), losses = jax.lax.scan(
+            one_step_c, (params, opt_state, intens), keys)
+        return params, opt_state, losses[-1]
+
+    _nets.set_bf16_conv_activations(True)
+    try:
+        pb, ob, lb16 = run_c_bf16(params_c, opt_c, intens_c,
+                                  jax.random.key(13, impl=RNG))
+        float(lb16)
+        tb_times = []
+        for i in range(2):
+            t0 = time.time()
+            pb, ob, lb16 = run_c_bf16(pb, ob, intens_c,
+                                      jax.random.key(14 + i, impl=RNG))
+            lb16 = float(lb16)
+            tb_times.append(time.time() - t0)
+    finally:
+        _nets.set_bf16_conv_activations(False)
+    conv_bf16_sps = CONV_STEPS / min(tb_times)
+    log(f"conv bf16-act A/B: {conv_bf16_sps:.1f} vs {conv_sps:.1f} steps/s "
+        f"({conv_bf16_sps / conv_sps:.3f}x, loss {lb16:.2f} "
+        f"finite={bool(jnp.isfinite(lb16))})")
+
     # conv IWAE eval chunk at Precision.HIGH (the production fallback
     # path): S=25 samples x B=512 through decoder+BCE. HIGH is bf16_3x —
     # the same hi*hi+hi*lo+lo*hi contract as the fused MLP kernel;
@@ -429,6 +498,14 @@ def main():
         "conv_step_model": (
             {"macs": conv_macs}
             if conv_macs else None),
+        "conv_device_us_per_step": (round(conv_dev_us, 2)
+                                    if conv_dev_us else None),
+        "conv_device_floor_steps_per_sec": (round(conv_floor_sps, 1)
+                                            if conv_dev_us else None),
+        "conv_pct_of_device_floor": (round(conv_pct_dev, 1)
+                                     if conv_dev_us else None),
+        "conv_bf16_act_steps_per_sec": round(conv_bf16_sps, 1),
+        "conv_bf16_act_speedup": round(conv_bf16_sps / conv_sps, 3),
         "conv_iwae_high_ms_per_chunk_s25_b512": round(conv_eval_ms, 2),
     }))
 

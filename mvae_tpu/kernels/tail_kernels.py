@@ -51,18 +51,16 @@ to the jnp path if any component is unsupported):
                         I_{1/2}(x) = sqrt(2/(pi x)) sinh x,
                         A_3(kappa) = coth kappa - 1/kappa — equal to the
                         library's series ``log_ive`` path to ~1e-6.
-  'vmf' on s (any dim)  OPT-IN (MVAE_FUSED_TAIL=1 explicitly; measured
-                        net-negative vs the jnp tail on-chip, RESULTS_r4
-                        §8): the Wood-rejection cosine w is drawn OUTSIDE
-                        the kernel (``_sample_w`` — same keys, same kappa
-                        expression as the jnp path, so draws are
-                        bit-identical, and its implicit-reparameterization
-                        kappa-JVP is preserved) and enters through a
-                        DIFFERENTIABLE ``wx`` operand; the rest of the
-                        chain (mu head, direction normalize, Householder,
-                        log C_m via the in-kernel Bessel series
-                        ``_log_ive_rows``, analytic KL via the Bessel
-                        ratio) fuses in-tile.
+  'vmf' on s (m != 3)   NOT in the kernel family — jnp tail by
+                        capability. The round-4 external-Wood-cosine
+                        ("wx") operand channel measured 0.84x (s6,
+                        B=1024) and 0.85x at its best-case shape
+                        (s12:vmf, B=2048 — results/r5_vmf_m13_ab.json):
+                        the Wood rejection sampler serializes between
+                        the head GEMM and the kernel on every shape
+                        tested, so the channel was DELETED in round 5
+                        (VERDICT r4 #8) rather than left as dead
+                        opt-in code in the hottest file.
 
 Reference: the tail is the ELBO estimator composition of
 ``mt/mvae/models/vae.py`` + ``mt/mvae/sampling/`` in oskopek/mvae
@@ -104,7 +102,10 @@ def use_fused_tail() -> bool:
 # (models/vae.py::fused_path_report) so cross-round throughput/LL rows say
 # which policy generation they ran under (VERDICT r4 #7). Bump when
 # component_supported / product_fused_default change.
-ROUTING_POLICY = "r5-measured-product-v2"
+ROUTING_POLICY = "r5-measured-product-v3"  # v3: vMF m != 3 wx channel
+# deleted (capability, was policy-routed-away in v2 — traced programs
+# identical for every v2 product; only the report's reason string moved
+# from "jnp tail measured faster" to "unsupported component")
 
 
 def component_supported(comp) -> bool:
@@ -121,11 +122,13 @@ def component_supported(comp) -> bool:
         return (comp.manifold.kind in ("h", "d", "p", "u", "s")
                 and comp.dim <= 32)
     if comp.posterior == "vmf":
-        # dim 2 (m = 3): the loop-free exact inverse-CDF cosine in-tile;
-        # other dims: the Wood cosine rides in through the wx operand.
+        # dim 2 (m = 3) only: the loop-free exact inverse-CDF cosine
+        # in-tile. Other dims need the Wood rejection cosine, whose
+        # external-operand channel measured slower than the jnp tail at
+        # every shape incl. large-B s12 (0.85x, r5 A/B) and was deleted.
         # 'p'-kind vMF needs the stereographic isometry push-through —
         # jnp path always.
-        return comp.manifold.kind == "s" and comp.dim <= 32
+        return comp.manifold.kind == "s" and comp.dim == 2
     return False
 
 
@@ -134,10 +137,6 @@ def product_fused_default(comps) -> bool:
     tail for this product on the real chip? (RESULTS_r4 §8 table; B=1024,
     h_dim=400 probe — ratios were stable across the family.)
 
-    * vMF at m != 3 present (wx channel): NO — 0.84x (s6) / 0.98x
-      (s4,h2,e2). The external Wood sampler serializes between the head
-      GEMM and the kernel, while XLA fuses it into the surrounding tail
-      math on the jnp path.
     * >= 2 components: YES — 1.11x (h2,s2,e2), 1.12x (3s2), 1.17x (2h2):
       the per-component fusion swarm is what the kernel amortizes.
     * lone wrapped component on u/p: YES — 1.19x (u6), 1.20x (p6): the
@@ -150,8 +149,6 @@ def product_fused_default(comps) -> bool:
     ``MVAE_FUSED_TAIL=1`` overrides this policy (everything capable runs
     fused — the CPU-interpret test mode); ``=0`` disables the kernel.
     """
-    if wx_rows(comps):
-        return False
     if len(comps) >= 2:
         return True
     c = comps[0]
@@ -161,57 +158,27 @@ def product_fused_default(comps) -> bool:
 
 def noise_rows(comp) -> int:
     """Rows of pre-drawn standard noise the tile consumes per example."""
-    return comp.dim + (1 if comp.posterior == "vmf" and comp.dim == 2
-                       else 0)
-
-
-def wx_rows(comps) -> int:
-    """Externally-sampled Wood-cosine rows (vMF components at m != 3)."""
-    return sum(1 for c in comps
-               if c.posterior == "vmf" and c.dim != 2)
+    return comp.dim + (1 if comp.posterior == "vmf" else 0)
 
 
 def draw_noise_t(key, comps, batch: int, dtype):
     """(E, B) standard noise mirroring the jnp path's key discipline
     EXACTLY (split per component; vMF splits again into (w, direction)),
-    so fused-vs-jnp paths are draw-for-draw comparable. vMF components at
-    m != 3 consume their w-key in ``draw_wx`` instead (same split tree)."""
+    so fused-vs-jnp paths are draw-for-draw comparable."""
     keys = jax.random.split(key, len(comps))
     rows = []
     for comp, ck in zip(comps, keys):
         if comp.posterior == "vmf":
             k_w, k_dir = jax.random.split(ck)
-            if comp.dim == 2:
-                u = jax.random.uniform(k_w, (batch,), dtype=dtype,
-                                       minval=1e-7)
-                rows.append(u[None, :])
+            u = jax.random.uniform(k_w, (batch,), dtype=dtype,
+                                   minval=1e-7)
+            rows.append(u[None, :])
             g = jax.random.normal(k_dir, (batch, comp.dim), dtype=dtype)
             rows.append(g.T)
         else:
             eps = jax.random.normal(ck, (batch, comp.dim), dtype=dtype)
             rows.append(eps.T)
     return jnp.concatenate(rows, axis=0)
-
-
-def draw_wx(key, comps, raw_all):
-    """(B, max(wx_rows, 1)) externally-sampled Wood cosines for the vMF
-    m != 3 components — DIFFERENTIABLE in raw_all: kappa is the same
-    softplus + 1 head expression the jnp path uses (bit-equal), and
-    ``_sample_w``'s custom JVP carries the implicit d(w)/d(kappa) term, so
-    the kernel's wx cotangent chains back into the head GEMM. Keys follow
-    ``draw_noise_t``'s split tree (k_w of the per-component split)."""
-    from ..distributions import von_mises_fisher
-    keys = jax.random.split(key, len(comps))
-    cols, off = [], 0
-    for comp, ck in zip(comps, keys):
-        if comp.posterior == "vmf" and comp.dim != 2:
-            k_w, _ = jax.random.split(ck)
-            kappa = jax.nn.softplus(raw_all[..., off + comp.dim]) + 1.0
-            cols.append(von_mises_fisher._sample_w(k_w, comp.dim + 1,
-                                                   kappa))
-        off += comp.head_width
-    assert cols, "draw_wx called on a product with no vMF m != 3 component"
-    return jnp.stack(cols, axis=-1)
 
 
 # --- Mosaic-safe series helpers not already in manifold_kernels --------------
@@ -251,69 +218,6 @@ def _arcsindiv_u_pos(w):
     sw = jnp.sqrt(pos_w)
     closed = _atan_poly(sw * jax.lax.rsqrt(jnp.maximum(1.0 - pos_w, e))) / sw
     return jnp.where(small, series, closed)
-
-
-_IVE_SWITCH = 40.0
-_IVE_TERMS = 64
-_IVE_NU_DEBYE = 8.0
-
-
-def _log_ive_rows(nu: float, x):
-    """log(I_nu(x) e^{-x}) for x > 0 rows, nu a STATIC Python float —
-    the Mosaic-safe twin of ``utils.special.log_ive`` (same branch
-    structure, agrees to ~1e-6 rel): the ascending series below x = 40
-    runs in LINEAR space via the term-ratio recurrence t_{j+1}/t_j =
-    (x^2/4)/((j+1)(nu+j+1)) — every intermediate stays under ~1.5e16 for
-    x < 40, comfortably inside f32 — instead of special.log_ive's
-    logsumexp over a trailing 64-term axis (a 3-D intermediate the TPU
-    kernel layout should not carry). Above the switch, nu <= 8 takes the
-    Hankel expansion; nu > 8 takes the uniform Debye large-order
-    asymptotic through u_4 (ADVICE r4: plain Hankel is +1.44 nats off at
-    nu=15.5, x=41 — it needs x >> nu^2) — here nu is STATIC so the
-    choice is a Python branch, one form per trace. Both live branches
-    evaluate on sanitized arguments (the where-trick) so AD never sees
-    NaN."""
-    xs = jnp.minimum(x, _IVE_SWITCH)              # series branch arg
-    q = 0.25 * xs * xs
-    term = jnp.ones_like(xs)
-    acc = jnp.ones_like(xs)
-    for j in range(1, _IVE_TERMS):
-        term = term * (q / (j * (nu + j)))
-        acc = acc + term
-    log_series = (nu * jnp.log(jnp.maximum(xs, 1e-30) / 2.0)
-                  - math.lgamma(nu + 1.0) + jnp.log(acc) - xs)
-    xb = jnp.maximum(x, _IVE_SWITCH)              # large-x branch arg
-    if nu <= _IVE_NU_DEBYE:
-        mu4 = 4.0 * nu * nu
-        inv8x = 1.0 / (8.0 * xb)
-        s = jnp.ones_like(xb)
-        a = jnp.ones_like(xb)
-        for kk in range(1, 7):
-            a = -a * (mu4 - (2.0 * kk - 1.0) ** 2) * inv8x / kk
-            s = s + a
-        log_asym = (-0.5 * jnp.log(2.0 * jnp.pi * xb)
-                    + jnp.log(jnp.maximum(s, 1e-12)))
-    else:
-        z = xb * (1.0 / nu)
-        sq = jnp.sqrt(1.0 + z * z)
-        t = 1.0 / sq
-        eta = sq + jnp.log(z / (1.0 + sq))
-        t2 = t * t
-        u1 = t * (3.0 - 5.0 * t2) * (1.0 / 24.0)
-        u2 = t2 * (81.0 + t2 * (-462.0 + 385.0 * t2)) * (1.0 / 1152.0)
-        u3 = (t * t2 * (30375.0 + t2 * (-369603.0
-                        + t2 * (765765.0 - 425425.0 * t2)))
-              * (1.0 / 414720.0))
-        u4 = (t2 * t2 * (4465125.0 + t2 * (-94121676.0
-                         + t2 * (349922430.0 + t2 * (-446185740.0
-                                 + 185910725.0 * t2))))
-              * (1.0 / 39813120.0))
-        inv = 1.0 / nu
-        s = 1.0 + inv * (u1 + inv * (u2 + inv * (u3 + inv * u4)))
-        log_asym = (nu * eta - xb
-                    - 0.5 * math.log(2.0 * math.pi * nu)
-                    - 0.5 * jnp.log(sq) + jnp.log(jnp.maximum(s, 1e-12)))
-    return jnp.where(x < _IVE_SWITCH, log_series, log_asym)
 
 
 # --- per-family tile chains (all arrays (rows, B); scalars (1, B)) -----------
@@ -479,18 +383,18 @@ def _tile_wrapped_sphere(comp, raw, eps, k):
     return z, logq - logp, logq, logp
 
 
-def _tile_vmf(comp, raw, eps, k, w_in=None):
-    """vMF(mu, kappa) on S^n (m = n + 1), any n: Householder sampling +
+def _tile_vmf(comp, raw, eps, k):
+    """vMF(mu, kappa) on S^2 (m = 3, the only dim in the kernel family —
+    larger m needs the Wood rejection cosine, measured slower as an
+    external operand and deleted in r5): Householder sampling +
     log-density + analytic KL (distributions/von_mises_fisher.py
     semantics). kappa >= 1 by the softplus+1 head, so every expression
     here is well-conditioned. The cosine w comes from the exact in-tile
-    inverse CDF at m = 3 (the marginal is exponential in w there) and
-    from the ``w_in`` operand — the externally-drawn Wood cosine with its
-    implicit kappa-JVP attached outside — for every other m. log C_m / A_m
-    use the half-integer closed forms at m = 3 and ``_log_ive_rows``
-    otherwise."""
+    inverse CDF (the marginal is exponential in w at m = 3); log C_3 /
+    A_3 use the half-integer closed forms."""
     n = comp.dim
     m = n + 1
+    assert m == 3, "fused vMF tile is m = 3 only"
     dt = raw.dtype
     tin = stable.tiny(dt)
     e = stable.eps(dt)
@@ -511,17 +415,13 @@ def _tile_vmf(comp, raw, eps, k, w_in=None):
     mu_u_t = m_t * scale * sqrt_k        # unit-sphere coords
     mu_u_sp = m_sp * scale * sqrt_k
 
-    if m == 3:
-        # cosine via the exact inverse CDF (stable expm1/log1p form)
-        u_eps = eps[0:1]
-        kap_s = jnp.maximum(kap, 1e-6)
-        w = 1.0 + jnp.log1p((1.0 - u_eps)
-                            * (jnp.exp(-2.0 * kap_s) - 1.0)) / kap_s
-        w = jnp.clip(w, -1.0 + 1e-7, 1.0 - 1e-7)
-        g = eps[1:3]
-    else:
-        w = w_in
-        g = eps[:n]
+    # cosine via the exact inverse CDF (stable expm1/log1p form)
+    u_eps = eps[0:1]
+    kap_s = jnp.maximum(kap, 1e-6)
+    w = 1.0 + jnp.log1p((1.0 - u_eps)
+                        * (jnp.exp(-2.0 * kap_s) - 1.0)) / kap_s
+    w = jnp.clip(w, -1.0 + 1e-7, 1.0 - 1e-7)
+    g = eps[1:3]
     vdir = g / jnp.sqrt(jnp.sum(g * g, axis=0, keepdims=True) + tin)
     sin_w = jnp.sqrt(jnp.maximum(1.0 - w * w, tin))
     zp_sp = sin_w * vdir                 # frame-aligned sample (w, zp_sp)
@@ -542,19 +442,12 @@ def _tile_vmf(comp, raw, eps, k, w_in=None):
     zu_sp = jnp.where(deg, zp_sp, zu_sp)
     z = jnp.concatenate([zu_t * r, zu_sp * r], axis=0)
 
-    if m == 3:
-        # log C_3(kappa) with log I_{1/2}e^{-x} = 0.5 log(2/(pi x))
-        #                                         + log1p(-e^{-2x}) - log 2
-        log_ive_nu = (0.5 * jnp.log(2.0 / (jnp.pi * kap))
-                      + jnp.log1p(-jnp.exp(-2.0 * kap)) - math.log(2.0))
-        a_m = 1.0 / jnp.tanh(kap) - 1.0 / kap
-        log_unit_area = _LOG_4PI
-    else:
-        nu = m / 2.0 - 1.0
-        log_ive_nu = _log_ive_rows(nu, kap)
-        a_m = jnp.exp(_log_ive_rows(nu + 1.0, kap) - log_ive_nu)
-        log_unit_area = (math.log(2.0) + (m / 2.0) * math.log(math.pi)
-                         - math.lgamma(m / 2.0))
+    # log C_3(kappa) with log I_{1/2}e^{-x} = 0.5 log(2/(pi x))
+    #                                         + log1p(-e^{-2x}) - log 2
+    log_ive_nu = (0.5 * jnp.log(2.0 / (jnp.pi * kap))
+                  + jnp.log1p(-jnp.exp(-2.0 * kap)) - math.log(2.0))
+    a_m = 1.0 / jnp.tanh(kap) - 1.0 / kap
+    log_unit_area = _LOG_4PI
     log_cm = ((m / 2.0 - 1.0) * jnp.log(kap) - (m / 2.0) * _LOG_2PI
               - (log_ive_nu + kap))
     cos = mu_u_t * zu_t + jnp.sum(mu_u_sp * zu_sp, axis=0, keepdims=True)
@@ -750,14 +643,13 @@ def _logp_prior_rows(n, wraps, sign, k, r0, dt):
 # --- whole-product tile + pallas_call plumbing -------------------------------
 
 
-def _tail_tile(comps, raw_t, eps_t, kx, wx_t=None):
+def _tail_tile(comps, raw_t, eps_t, kx):
     """(W, B) raw rows + (E, B) noise rows + (nc, B) curvature rows
-    [+ (WX, B) external Wood-cosine rows when the product has vMF m != 3
-    components] -> (z (Z, B), aux (nc+2, B) = [kl rows; log_q; log_p])."""
+    -> (z (Z, B), aux (nc+2, B) = [kl rows; log_q; log_p])."""
     zs, kls = [], []
     lq = 0.0
     lp = 0.0
-    ro = eo = wo = 0
+    ro = eo = 0
     for i, comp in enumerate(comps):
         raw = raw_t[ro:ro + comp.head_width]
         ro += comp.head_width
@@ -767,11 +659,7 @@ def _tail_tile(comps, raw_t, eps_t, kx, wx_t=None):
         if comp.posterior == "normal":
             z, kl, q, p = _tile_normal(comp, raw, epsc)
         elif comp.posterior == "vmf":
-            w_in = None
-            if comp.dim != 2:
-                w_in = wx_t[wo:wo + 1]
-                wo += 1
-            z, kl, q, p = _tile_vmf(comp, raw, epsc, kc, w_in)
+            z, kl, q, p = _tile_vmf(comp, raw, epsc, kc)
         elif comp.manifold.kind == "h":
             z, kl, q, p = _tile_wrapped_lorentz(comp, raw, epsc, kc)
         elif comp.manifold.kind == "s":
@@ -787,10 +675,9 @@ def _tail_tile(comps, raw_t, eps_t, kx, wx_t=None):
     return z, aux
 
 
-def _tile_io(comps, raw_bt, eps_bt, kx_bt, wx_bt=None):
+def _tile_io(comps, raw_bt, eps_bt, kx_bt):
     """Natural-orientation wrapper: transposes happen ONCE in VMEM."""
-    wx_t = None if wx_bt is None else wx_bt.T
-    z, aux = _tail_tile(comps, raw_bt.T, eps_bt.T, kx_bt.T, wx_t)
+    z, aux = _tail_tile(comps, raw_bt.T, eps_bt.T, kx_bt.T)
     return z.T, aux.T
 
 
@@ -814,47 +701,39 @@ def _specs(shapes, block):
                          memory_space=pltpu.VMEM) for w in shapes]
 
 
-def _fwd_pallas(comps, raw_bt, eps_bt, kx_bt, wx_bt=None):
+def _fwd_pallas(comps, raw_bt, eps_bt, kx_bt):
     B = raw_bt.shape[0]
     W, E, Z = _dims(comps)
     nc = len(comps)
     block = min(_BLK, -(-B // 128) * 128)
     bp = -(-B // block) * block
     # pads: raw 0 (softplus(0) scale — finite chain), noise 0.5 (valid for
-    # both the normal rows and the vMF uniform row), wx 0 (a valid cosine),
-    # curvature edge value (keeps padded lanes on the same
-    # trace-time-live branch)
+    # both the normal rows and the vMF uniform row), curvature edge value
+    # (keeps padded lanes on the same trace-time-live branch)
     raw_p = _pad_cols(raw_bt, bp)
     eps_p = _pad_cols(eps_bt, bp, 0.5)
     kx_p = kx_bt if bp == B else jnp.concatenate(
         [kx_bt, jnp.broadcast_to(kx_bt[-1:], (bp - B, nc))], axis=0)
-    ops = [raw_p, eps_p, kx_p]
-    widths = [W, E, nc]
-    if wx_bt is not None:
-        ops.append(_pad_cols(wx_bt, bp))
-        widths.append(wx_bt.shape[1])
 
-    def fwd_kernel(raw_ref, eps_ref, kx_ref, *rest):
-        wx_refs, (z_ref, aux_ref) = rest[:-2], rest[-2:]
-        wx = wx_refs[0][:] if wx_refs else None
-        z, aux = _tile_io(comps, raw_ref[:], eps_ref[:], kx_ref[:], wx)
+    def fwd_kernel(raw_ref, eps_ref, kx_ref, z_ref, aux_ref):
+        z, aux = _tile_io(comps, raw_ref[:], eps_ref[:], kx_ref[:])
         z_ref[:] = z
         aux_ref[:] = aux
 
     z, aux = pl.pallas_call(
         fwd_kernel,
         grid=(bp // block,),
-        in_specs=_specs(tuple(widths), block),
+        in_specs=_specs((W, E, nc), block),
         out_specs=tuple(_specs((Z, nc + 2), block)),
         out_shape=(jax.ShapeDtypeStruct((bp, Z), raw_bt.dtype),
                    jax.ShapeDtypeStruct((bp, nc + 2), raw_bt.dtype)),
         interpret=_interpret(),
-    )(*ops)
+    )(raw_p, eps_p, kx_p)
     return z[:B], aux[:B]
 
 
-def _bwd_pallas(comps, res, cts, wx_bt=None):
-    """Shared backward: in-kernel jax.vjp over (raw, kx[, wx])."""
+def _bwd_pallas(comps, res, cts):
+    """Shared backward: in-kernel jax.vjp over (raw, kx)."""
     raw_bt, eps_bt, kx_bt = res
     dz, daux = cts
     B = raw_bt.shape[0]
@@ -868,35 +747,19 @@ def _bwd_pallas(comps, res, cts, wx_bt=None):
         [kx_bt, jnp.broadcast_to(kx_bt[-1:], (bp - B, nc))], axis=0)
     dz_p = _pad_cols(dz, bp)       # zero cotangents on padded lanes
     daux_p = _pad_cols(daux, bp)
-    has_wx = wx_bt is not None
-    in_ops = [raw_p, eps_p, kx_p]
-    in_widths = [W, E, nc]
+    in_ops = [raw_p, eps_p, kx_p, dz_p, daux_p]
+    in_widths = [W, E, nc, Z, nc + 2]
     out_widths = [W, nc]
-    if has_wx:
-        in_ops.append(_pad_cols(wx_bt, bp))
-        in_widths.append(wx_bt.shape[1])
-        out_widths.append(wx_bt.shape[1])
-    in_ops += [dz_p, daux_p]
-    in_widths += [Z, nc + 2]
 
-    def bwd_kernel(raw_ref, eps_ref, kx_ref, *rest):
-        nout = 3 if has_wx else 2
-        if has_wx:
-            wx_ref, dz_ref, daux_ref = rest[:3]
-        else:
-            dz_ref, daux_ref = rest[:2]
-        out_refs = rest[-nout:]
+    def bwd_kernel(raw_ref, eps_ref, kx_ref, dz_ref, daux_ref,
+                   draw_ref, dkx_ref):
         eps = eps_ref[:]
 
-        if has_wx:
-            def f(raw, kxv, wxv):
-                return _tile_io(comps, raw, eps, kxv, wxv)
-            _, vjp = jax.vjp(f, raw_ref[:], kx_ref[:], wx_ref[:])
-        else:
-            def f(raw, kxv):
-                return _tile_io(comps, raw, eps, kxv)
-            _, vjp = jax.vjp(f, raw_ref[:], kx_ref[:])
-        for ref, ct in zip(out_refs, vjp((dz_ref[:], daux_ref[:]))):
+        def f(raw, kxv):
+            return _tile_io(comps, raw, eps, kxv)
+        _, vjp = jax.vjp(f, raw_ref[:], kx_ref[:])
+        for ref, ct in zip((draw_ref, dkx_ref),
+                           vjp((dz_ref[:], daux_ref[:]))):
             ref[:] = ct
 
     outs = pl.pallas_call(
@@ -928,24 +791,6 @@ def _tail_call_bwd(comps, res, cts):
 _tail_call.defvjp(_tail_call_fwd, _tail_call_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _tail_call_wx(comps, raw_bt, eps_bt, kx_bt, wx_bt):
-    return _fwd_pallas(comps, raw_bt, eps_bt, kx_bt, wx_bt)
-
-
-def _tail_call_wx_fwd(comps, raw_bt, eps_bt, kx_bt, wx_bt):
-    return (_fwd_pallas(comps, raw_bt, eps_bt, kx_bt, wx_bt),
-            (raw_bt, eps_bt, kx_bt, wx_bt))
-
-
-def _tail_call_wx_bwd(comps, res, cts):
-    draw, dkx, dwx = _bwd_pallas(comps, res[:3], cts, wx_bt=res[3])
-    return draw, jnp.zeros_like(res[1]), dkx, dwx
-
-
-_tail_call_wx.defvjp(_tail_call_wx_fwd, _tail_call_wx_bwd)
-
-
 def reparam_all(key, comps, comp_params, raw_all):
     """Full product-latent reparameterization from the fused-head GEMM
     output, as ONE forward (and one backward) Pallas kernel.
@@ -961,11 +806,7 @@ def reparam_all(key, comps, comp_params, raw_all):
                       for comp, cp in zip(comps, comp_params)]).astype(dt)
     kx_bt = jnp.broadcast_to(kvec[None, :], (B, len(comps)))
     eps_bt = draw_noise_t(key, comps, B, dt).T
-    if wx_rows(comps):
-        wx_bt = draw_wx(key, comps, raw_all)
-        z, aux = _tail_call_wx(comps, raw_all, eps_bt, kx_bt, wx_bt)
-    else:
-        z, aux = _tail_call(comps, raw_all, eps_bt, kx_bt)
+    z, aux = _tail_call(comps, raw_all, eps_bt, kx_bt)
     nc = len(comps)
     return (z, aux[:, nc], aux[:, nc + 1], aux[:, :nc], kvec)
 
@@ -980,7 +821,6 @@ def reparam_all_jnp(key, comps, comp_params, raw_all):
                       for comp, cp in zip(comps, comp_params)]).astype(dt)
     kx = jnp.broadcast_to(kvec[:, None], (len(comps), B))
     eps_t = draw_noise_t(key, comps, B, dt)
-    wx_t = draw_wx(key, comps, raw_all).T if wx_rows(comps) else None
-    z, aux = _tail_tile(comps, raw_all.T, eps_t, kx, wx_t)
+    z, aux = _tail_tile(comps, raw_all.T, eps_t, kx)
     nc = len(comps)
     return (z.T, aux[nc], aux[nc + 1], aux[:nc].T, kvec)

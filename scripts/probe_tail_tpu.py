@@ -4,8 +4,11 @@ between routings at identical draws.
 
 Run on the real chip:
     python scripts/probe_tail_tpu.py [--spec h2,s2,e2] [--batch 1024]
-(for products the auto policy routes to the jnp tail — e.g. the vMF
-m != 3 wx channel — set MVAE_FUSED_TAIL=1 to force the fused side.)
+(for kernel-capable products the auto policy routes to the jnp tail —
+e.g. lone e6/h6/d6 — set MVAE_FUSED_TAIL=1 to force the fused side.
+The r5 vMF m != 3 A/B that retired the wx channel ran through this
+script before the channel was deleted; m != 3 vMF products now fail
+the capability assert below by design.)
 """
 import argparse
 import json

@@ -16,8 +16,11 @@ from mvae_tpu.models import vae
 F32 = jnp.float32
 B, F = 160, 24
 
+# vMF is kernel-capable at m = 3 only (the m != 3 wx-operand channel was
+# measured slower at every shape incl. large-B s12 and deleted in r5);
+# wrapped-on-s covers the higher sphere dims.
 SPECS = ["h2,s2,e2", "e6", "h6", "d6", "p6", "u6", "d2,p2,u2",
-         "s6", "s4,s2", "s3,h2,e2"]
+         "s6:wrapped", "s4:wrapped,s2", "s3:wrapped,h2,e2"]
 
 
 def build(spec, fixed=False, scalar_sigma=False, wraps=1, seed=0):
@@ -67,7 +70,8 @@ class TestTailKernel:
         np.testing.assert_allclose(np.asarray(kl), np.asarray(kl_r),
                                    rtol=2e-4, atol=5e-4)
 
-    @pytest.mark.parametrize("spec", ["h2,s2,e2", "u6", "d3,s2", "s6"])
+    @pytest.mark.parametrize("spec", ["h2,s2,e2", "u6", "d3,s2",
+                                      "s6:wrapped"])
     def test_grads_match_jnp_path(self, monkeypatch, spec):
         """d(loss)/d(raw heads) and d(loss)/d(curvature): the in-kernel
         jax.vjp backward against (a) plain AD of the SAME tile math outside
@@ -212,11 +216,12 @@ class TestTailKernel:
         cfg = VAEConfig(components=ok, data_shape=(16,), h_dim=8)
         params = init_params(jax.random.key(0), cfg)
         assert vae._fused_tail_eligible(cfg, params)
-        # vmf at m != 3 rides the external-Wood-cosine (wx) channel
+        # vmf at m != 3 is NOT kernel-capable (wx channel deleted in r5
+        # after losing its on-chip A/B at every shape incl. large-B s12)
         s4 = parse_components("s4")
         cfg_s4 = VAEConfig(components=s4, data_shape=(16,), h_dim=8)
         params_s4 = init_params(jax.random.key(0), cfg_s4)
-        assert vae._fused_tail_eligible(cfg_s4, params_s4)
+        assert not vae._fused_tail_eligible(cfg_s4, params_s4)
         # riemannian posterior and projected-sphere vmf are jnp-only
         rn = parse_components("h2:riemannian")
         cfg_rn = VAEConfig(components=rn, data_shape=(16,), h_dim=8)
@@ -248,21 +253,33 @@ class TestTailKernel:
             assert tail_kernels.product_fused_default(
                 parse_components(spec)), spec
         # jnp-wins family (capable, auto-routed away)
-        for spec in ("e6", "h6", "d6", "s6", "s4,h2,e2"):
+        for spec in ("e6", "h6", "d6"):
             assert not eligible(spec), spec
-        # force-fused override
+        # m != 3 vMF: not capable at all since the r5 wx-channel deletion
+        for spec in ("s6", "s4,h2,e2"):
+            assert not eligible(spec), spec
+        # force-fused override applies to capable products only
         monkeypatch.setenv("MVAE_FUSED_TAIL", "1")
-        for spec in ("e6", "h6", "d6", "s6", "s4,h2,e2"):
+        for spec in ("e6", "h6", "d6"):
             assert eligible(spec), spec
+        for spec in ("s6", "s4,h2,e2"):
+            assert not eligible(spec), spec
 
     def test_auto_routing_reason_in_report(self, monkeypatch):
         from mvae_tpu.models import VAEConfig, init_params
         monkeypatch.setenv("MVAE_FUSED_TAIL", "auto")
         monkeypatch.setattr(tail_kernels.jax, "default_backend",
                             lambda: "tpu")
-        comps = parse_components("s6")
+        comps = parse_components("h6")
         cfg = VAEConfig(components=comps, data_shape=(16,), h_dim=8)
         params = init_params(jax.random.key(0), cfg)
         rep = vae.fused_path_report(cfg, params)["train_tail"]
         assert not rep["active"]
         assert "jnp tail measured faster" in rep["why"]
+        # m != 3 vMF reports capability, not policy
+        comps_s6 = parse_components("s6")
+        cfg_s6 = VAEConfig(components=comps_s6, data_shape=(16,), h_dim=8)
+        params_s6 = init_params(jax.random.key(0), cfg_s6)
+        rep_s6 = vae.fused_path_report(cfg_s6, params_s6)["train_tail"]
+        assert not rep_s6["active"]
+        assert "unsupported component" in rep_s6["why"]

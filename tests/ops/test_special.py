@@ -50,18 +50,6 @@ class TestLogIve:
             out = special.log_ive(nu, x)
             assert np.all(np.isfinite(out))
 
-    def test_kernel_twin_log_ive_rows(self):
-        """The Mosaic-safe twin in kernels/tail_kernels.py must track the
-        library log_ive branch-for-branch, INCLUDING the large-nu Debye
-        route (static-nu Python branch there)."""
-        from mvae_tpu.kernels.tail_kernels import _log_ive_rows
-        x = jnp.asarray(np.logspace(-2, 3, 80), dtype=jnp.float64)
-        for nu in (0.5, 2.5, 5.0, 8.5, 15.5, 16.5):
-            oracle = np.log(sps.ive(nu, np.asarray(x)))
-            np.testing.assert_allclose(_log_ive_rows(nu, x), oracle,
-                                       rtol=3e-6, atol=1e-7,
-                                       err_msg=f"nu={nu}")
-
     def test_bessel_ratio(self):
         x = jnp.asarray([0.1, 1.0, 10.0, 100.0], dtype=jnp.float64)
         for nu in (0.5, 1.5, 2.5):

@@ -44,6 +44,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="wrap-image pairs in wrapped-normal densities on "
                         "positive curvature; 0 = the reference's principal-"
                         "branch-only estimator (strict parity mode)")
+    p.add_argument("--sigma_cap", type=_str2bool, default=True,
+                   help="saturate wrapped posterior scales at the positive-"
+                        "K injectivity radius (round-4 stability cap). "
+                        "False = the reference family's uncapped head — "
+                        "see the round-5 basin study "
+                        "(results/r5_s6wrapped_basin.json)")
     p.add_argument("--epochs", type=int, default=100)
     p.add_argument("--batch_size", type=int, default=128)
     p.add_argument("--h_dim", type=int, default=400)
@@ -111,7 +117,8 @@ def main(argv=None):
     components = parse_components(args.model,
                                   fixed_curvature=args.fixed_curvature,
                                   scalar_sigma=args.scalar_sigma,
-                                  wraps=args.wraps)
+                                  wraps=args.wraps,
+                                  sigma_cap=args.sigma_cap)
     dataset = load_dataset(args.dataset)
     arch = args.arch or ("conv" if args.dataset == "cifar" else "mlp")
     model_cfg = VAEConfig(components=components,

@@ -169,7 +169,23 @@ def main():
                    help="tiny end-to-end validation of the script itself: "
                         "2048 train / 512 test examples, IWAE-50 — checks "
                         "every code path before the multi-hour real run")
+    p.add_argument("--train_only", action="store_true",
+                   help="train the torch variants and save their weights "
+                        "(runs/r5_basin_weights_<variant>.npz) without the "
+                        "jax IWAE evals — for when the TPU relay is down; "
+                        "finish later with --eval_saved. Forces the CPU "
+                        "backend (epoch_noise is threefry — identical "
+                        "draws on any backend).")
+    p.add_argument("--eval_saved", action="store_true",
+                   help="skip training: load each variant's saved weights "
+                        "and run the jax IWAE evals + sigma stats")
     args = p.parse_args()
+
+    if args.train_only or os.environ.get("MVAE_FORCE_CPU") == "1":
+        import jax as _jax
+        _jax.config.update("jax_platforms", "cpu")
+        from jax.extend import backend as _eb
+        _eb.clear_backends()
 
     ds = load_dataset("mnist")
     if args.smoke:
@@ -189,26 +205,56 @@ def main():
         if not variant:
             continue
         sigma_cap = variant == "capped"
-        model, cfg_t, trace, wall = train_torch_variant(ds, args, sigma_cap)
-        row = {"train_elbo_trace_tail": trace[-10:],
-               "train_elbo_final": trace[-1] if trace else None,
-               "finished": len(trace) == args.epochs,
-               "train_wall_s": round(wall, 1)}
+        wpath = Path(f"runs/r5_basin_weights_{variant}.npz")
+        if args.eval_saved:
+            flat = dict(np.load(wpath, allow_pickle=False))
+            row = json.loads(flat.pop("__row__").item())
+            model, trace = None, None
+        else:
+            model, cfg_t, trace, wall = train_torch_variant(
+                ds, args, sigma_cap)
+            row = {"train_elbo_trace_tail": trace[-10:],
+                   "train_elbo_final": trace[-1] if trace else None,
+                   "finished": len(trace) == args.epochs,
+                   "train_wall_s": round(wall, 1)}
         # evaluate under the variant's own model class
         ev, cfg_e, _tc = build_eval_trainer(
             ds, args, sigma_cap=sigma_cap, wraps=0,
             run_dir=f"runs/r5_basin_eval_{variant}")
-        ev.params = model.to_jax_params(jax.tree.map(np.asarray, ev.params))
+        if args.eval_saved:
+            leaves, treedef = jax.tree_util.tree_flatten(ev.params)
+            ev.params = jax.tree_util.tree_unflatten(
+                treedef, [jnp_like for jnp_like in
+                          (flat[f"leaf_{i}"] for i in range(len(leaves)))])
+        else:
+            ev.params = model.to_jax_params(
+                jax.tree.map(np.asarray, ev.params))
+            leaves, _ = jax.tree_util.tree_flatten(
+                jax.tree.map(np.asarray, ev.params))
+            np.savez(wpath, __row__=json.dumps(row),
+                     **{f"leaf_{i}": l for i, l in enumerate(leaves)})
+            print(f"saved weights -> {wpath}", flush=True)
+        if args.train_only:
+            out["variants"][f"torch_f64_{variant}"] = row
+            print(json.dumps({variant: row}, default=str), flush=True)
+            os.makedirs("results", exist_ok=True)
+            Path(args.out).write_text(json.dumps(out, indent=1, default=str))
+            continue
         row["iwae500_wraps0"] = ev.evaluate_log_likelihood(
             "test", repeats=args.ll_repeats)
         row["sigma_stats"] = sigma_stats(cfg_e, ev.params, ds)
-        if not sigma_cap:
-            ev8, _cfg8, _ = build_eval_trainer(
-                ds, args, sigma_cap=False, wraps=8,
-                run_dir=f"runs/r5_basin_eval_{variant}_w8")
-            ev8.params = ev.params
-            row["iwae500_wraps8_exact_q"] = ev8.evaluate_log_likelihood(
-                "test", repeats=args.ll_repeats)
+        # wraps=8 exact-q audit for BOTH variants: a truncated wrap sum
+        # underestimates log q at large sigma and so INFLATES the IWAE
+        # bound — the first capped-f64 run proved this matters for capped
+        # too (it farmed sigma_raw to 6.3x the cap and self-reported a
+        # fake -295.5 under wraps=0; same mechanism the cap was meant to
+        # block, running stably UNDER the cap's saturation).
+        ev8, _cfg8, _ = build_eval_trainer(
+            ds, args, sigma_cap=sigma_cap, wraps=8,
+            run_dir=f"runs/r5_basin_eval_{variant}_w8")
+        ev8.params = ev.params
+        row["iwae500_wraps8_exact_q"] = ev8.evaluate_log_likelihood(
+            "test", repeats=args.ll_repeats)
         out["variants"][f"torch_f64_{variant}"] = row
         print(json.dumps({variant: row}, default=str), flush=True)
         os.makedirs("results", exist_ok=True)

@@ -337,6 +337,19 @@ class TestCli:
         assert np.isfinite(result["test/log_likelihood_iwae"])
         assert (tmp_path / "cli_run" / "result.json").exists()
 
+    def test_cli_sigma_cap_flag(self):
+        """--sigma_cap False must reach every parsed component (the
+        round-5 basin study's uncapped reference-family head)."""
+        from mvae_tpu.cli import build_parser
+        from mvae_tpu.components import parse_components
+        args = build_parser().parse_args(
+            ["--model", "s6:wrapped", "--sigma_cap", "False"])
+        assert args.sigma_cap is False
+        comps = parse_components(args.model, sigma_cap=args.sigma_cap)
+        assert all(not c.sigma_cap for c in comps)
+        assert all(c.sigma_cap
+                   for c in parse_components("s6:wrapped"))  # default on
+
     def test_cli_eval_only(self, tmp_path):
         from mvae_tpu.cli import main
         run_dir = str(tmp_path / "eo_run")
